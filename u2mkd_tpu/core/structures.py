@@ -1,0 +1,62 @@
+"""Fixed-capacity sparse structures (pytrees).
+
+TPU-native replacement for torchsparse's ``SparseTensor``/``PointTensor``:
+instead of variable-length coordinate lists, every level of the sparse U-Net
+is a fixed-capacity table sorted by packed coordinate key. Feature arrays are
+carried separately from the (index-only) grid structure so the same grid can
+serve many channel widths, mirroring how the reference caches ``cmaps`` /
+``kmaps`` across layers (``core/models/utils.py:59-63``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.struct
+import jax
+
+
+class VoxelGrid(flax.struct.PyTreeNode):
+    """A fixed-capacity set of active voxels at one stride level.
+
+    coords are in *finest-grid units* (multiples of ``stride``), matching
+    torchsparse's convention where stride-s coords remain integers on the
+    stride-1 lattice. The table is sorted by packed key; ``key_hi/key_lo``
+    enable O(log V) binary-search lookup.
+    """
+
+    coords: jax.Array   # [V, 3] int32
+    mask: jax.Array     # [V] bool
+    key_hi: jax.Array   # [V] uint32, sorted ascending (padding = INVALID_KEY)
+    key_lo: jax.Array   # [V] uint32
+    num: jax.Array      # [] int32 actual count
+    stride: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[-2]
+
+
+class LevelContext(flax.struct.PyTreeNode):
+    """Per-level index plumbing built once per forward pass.
+
+    Holds the rulebooks shared by all conv layers at this level — the
+    analogue of torchsparse kernel-map caching (``cmaps``/``kmaps``).
+
+      nbr27:        [27, V] int32 rows of the 3x3x3 stride-1 neighbors
+                    (-1 where absent) — used by every ks=3/s=1 conv.
+      down_nbr8:    [8, V] int32 rows *in the finer level* feeding each voxel
+                    of this level through the ks=2/s=2 downsample conv
+                    (None for level 0).
+      up_parent:    [V] int32 row *in the coarser level* that feeds each voxel
+                    of this level through the ks=2/s=2 transposed conv
+                    (None for the deepest level); always valid where mask.
+      up_koff:      [V] int32 in [0,8) kernel-offset index of this voxel
+                    relative to its parent (None with up_parent).
+    """
+
+    grid: VoxelGrid
+    nbr27: jax.Array
+    down_nbr8: Optional[jax.Array] = None
+    up_parent: Optional[jax.Array] = None
+    up_koff: Optional[jax.Array] = None

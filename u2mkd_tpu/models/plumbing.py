@@ -1,0 +1,103 @@
+"""Per-forward index plumbing for point-voxel U-Nets.
+
+Builds, once per step, everything the reference computes lazily and caches on
+its tensors (torchsparse ``cmaps``/``kmaps``, ``PointTensor.additional_features``
+idx_query/counts per stride, ``idx_query``/``weights`` per stride for
+devoxelize — reference ``core/models/utils.py:15-118``):
+
+  * the 5 U-Net voxel grids (stride 1..16) with their conv rulebooks,
+  * point->voxel row maps per level (``point_to_voxel``),
+  * 8-neighbor trilinear queries per level (``voxel_to_point``),
+  * level0-voxel -> level-L row maps and per-level mean metric xyz
+    (the ``zz`` PointTensor trick in ``spvcnn_spformer.py:136-147``).
+
+Everything is index/int math — no gradients — and fully batched via vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from u2mkd_tpu.core.structures import LevelContext, VoxelGrid
+from u2mkd_tpu.ops import hashing, spconv, voxelize
+
+
+class UNetPlumbing(flax.struct.PyTreeNode):
+    levels: Tuple[LevelContext, ...]   # batched grids + rulebooks
+    p2v: Tuple[jax.Array, ...]         # [L] x [B, P] point -> voxel row (-1 none)
+    devox_idx: Tuple[jax.Array, ...]   # [L] x [B, P, 8]
+    devox_w: Tuple[jax.Array, ...]     # [L] x [B, P, 8]
+    v0_to_v: Tuple[jax.Array, ...]     # [L] x [B, V0] level0 voxel -> level-L row
+    vox_xyz: Tuple[jax.Array, ...]     # [L] x [B, V_L, 3] mean metric xyz
+    pmask: jax.Array                   # [B, P]
+    p2v0_feats_seg: jax.Array          # [B, P] segment ids for initial voxelize
+
+
+def _build_single(pcoords, metric_xyz, pmask, capacities):
+    """Per-sample plumbing build. pcoords [P,3] float voxel units."""
+    nlev = len(capacities)
+    v0 = voxelize.voxelize_initial(pcoords, metric_xyz, pmask, capacities[0])
+    grid0 = VoxelGrid(
+        coords=v0["vcoords"], mask=v0["vmask"], key_hi=v0["key_hi"],
+        key_lo=v0["key_lo"], num=v0["num"], stride=1,
+    )
+    levels = spconv.build_levels(grid0, capacities)
+    p2v, dvi, dvw, v0_to_v, vox_xyz = [], [], [], [], []
+    xyz0 = v0["vfeats"]  # [V0, 3] mean metric xyz
+    for li, lv in enumerate(levels):
+        s = lv.grid.stride
+        p2v.append(
+            voxelize.point_voxel_query(pcoords, pmask, s, lv.grid.key_hi, lv.grid.key_lo)
+        )
+        idx8, w8 = voxelize.voxel_to_point_query(
+            pcoords, pmask, s, lv.grid.key_hi, lv.grid.key_lo
+        )
+        dvi.append(idx8)
+        dvw.append(w8)
+        if li == 0:
+            v0_to_v.append(jnp.where(grid0.mask, jnp.arange(grid0.capacity), -1))
+            vox_xyz.append(xyz0)
+        else:
+            qc = (grid0.coords // s) * s
+            rows = hashing.lookup_coords(qc, grid0.mask, lv.grid.key_hi, lv.grid.key_lo)
+            v0_to_v.append(rows)
+            seg = jnp.where((rows >= 0) & grid0.mask, rows, lv.grid.capacity)
+            vox_xyz.append(voxelize.segment_mean(xyz0, seg, lv.grid.capacity))
+    return dict(
+        levels=levels, p2v=tuple(p2v), devox_idx=tuple(dvi), devox_w=tuple(dvw),
+        v0_to_v=tuple(v0_to_v), vox_xyz=tuple(vox_xyz), p2v0=v0["p2v"],
+    )
+
+
+def build_plumbing(pcoords: jax.Array, metric_xyz: jax.Array, pmask: jax.Array,
+                   capacities: Tuple[int, ...]) -> UNetPlumbing:
+    """Batched plumbing build.
+
+    pcoords:    [B, P, 3] float point coords in voxel units.
+    metric_xyz: [B, P, 3] float metric xyz (for transformer window geometry).
+    pmask:      [B, P] bool.
+    """
+    out = jax.vmap(lambda a, b, m: _build_single(a, b, m, tuple(capacities)))(
+        pcoords, metric_xyz, pmask
+    )
+    return UNetPlumbing(
+        levels=out["levels"], p2v=out["p2v"], devox_idx=out["devox_idx"],
+        devox_w=out["devox_w"], v0_to_v=out["v0_to_v"], vox_xyz=out["vox_xyz"],
+        pmask=pmask, p2v0_feats_seg=out["p2v0"],
+    )
+
+
+def point_to_voxel(pfeats: jax.Array, p2v: jax.Array, capacity: int) -> jax.Array:
+    """Batched scatter-mean of point features onto voxel rows."""
+    return jax.vmap(lambda f, m: voxelize.point_to_voxel_mean(f, m, capacity))(
+        pfeats, p2v
+    )
+
+
+def voxel_to_point(vfeats: jax.Array, idx8: jax.Array, w8: jax.Array) -> jax.Array:
+    """Batched trilinear devoxelize."""
+    return jax.vmap(voxelize.trilinear_devoxelize)(vfeats, idx8, w8)

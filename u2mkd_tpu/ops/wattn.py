@@ -1,0 +1,235 @@
+"""Sparse window attention with contextual relative position encoding.
+
+TPU-native replacement for the entire sptr CUDA stack (reference
+``third_party/SparseTransformer``): ``precompute_all`` pair expansion,
+``dot_prod_with_idx_all``, CSR softmax and
+``attention_step2_with_rel_pos_value`` (``sptr/functional.py``,
+``sptr/modules.py:11-66``, ``sptr/utils.py:49-95``).
+
+Design (SURVEY §7): instead of materializing M = sum(c_i^2) variable-length
+pair lists, voxels are sorted by window id so each window is a contiguous
+run; attention is then *banded* over the sorted sequence — each query tile
+attends a static band of key tiles, masked to same-window membership. Cost is
+O(N * band) with O(N) memory, fully static shapes. Window members always lie
+within (max window size) positions of each other in the sorted order, so a
+band of ``band``>= max occupancy is exact; the radial windows' long tail can
+be truncated by config (documented deviation, exact given a wide band).
+
+Contextual RPE follows SphereFormer (reference
+``spherical_transformer.py:39-64,95-145``): 3-axis quantized relative
+positions index learned tables added to Q-dot, K-dot and V; the radial axis
+uses the exponential split of the range difference.
+
+All functions are per-sample; callers vmap over batch.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from u2mkd_tpu.ops import hashing
+
+
+def cart2sphere(xyz: jax.Array) -> jax.Array:
+    """(x,y,z) -> (theta_deg in [0,360], beta_deg, r). Reference
+    ``spherical_transformer.py:31-36``."""
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    theta = (jnp.arctan2(y, x) + math.pi) * (180.0 / math.pi)
+    beta = jnp.arctan2(jnp.sqrt(x * x + y * y), z) * (180.0 / math.pi)
+    r = jnp.sqrt(x * x + y * y + z * z)
+    return jnp.stack([theta, beta, r], axis=-1)
+
+
+def window_keys(xyz: jax.Array, valid: jax.Array, window_size, shift: bool):
+    """Packed (hi, lo) window key per element.
+
+    Matches torch_geometric ``voxel_grid(pos, size, start)`` semantics as used
+    by ``grid_sample`` (reference ``sptr/utils.py:20-47``): cluster id =
+    floor((pos - start) / size) with start = pos.min(0); ``shift_win`` adds
+    half a window (reference ``sptr/utils.py:63-66``).
+    """
+    ws = jnp.asarray(window_size, xyz.dtype)
+    pos = xyz + 0.5 * ws if shift else xyz
+    big = jnp.where(valid[:, None], pos, jnp.inf)
+    start = jnp.min(big, axis=0)
+    start = jnp.where(jnp.isfinite(start), start, 0.0)
+    cell = jnp.floor((pos - start) / ws).astype(jnp.int32)
+    return hashing.pack_coords(cell, valid)
+
+
+def quantize_in_window(xyz: jax.Array, valid: jax.Array, window_size, quant_size,
+                       shift: bool) -> jax.Array:
+    """Per-axis quantized position *within* the window.
+
+    Matches ``sparse_self_attention`` (reference ``sptr/modules.py:40-44``):
+    q = floor(((xyz - xyz.min(0) + shift) % window) / quant).
+    """
+    ws = jnp.asarray(window_size, xyz.dtype)
+    qs = jnp.asarray(quant_size, xyz.dtype)
+    big = jnp.where(valid[:, None], xyz, jnp.inf)
+    mn = jnp.min(big, axis=0)
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+    shift_sz = 0.5 * ws if shift else 0.0
+    rel = jnp.mod(xyz - mn + shift_sz, ws)
+    return jnp.floor(rel / qs).astype(jnp.int32)
+
+
+def exponential_split_index(rel_r: jax.Array, a: float) -> jax.Array:
+    """Map a radial relative position to an RPE bin (reference
+    ``exponential_split``, ``spherical_transformer.py:39-64``): bins start at
+    width ``a`` around 0 and double every two bins; sign mirrors; +24 offset.
+    """
+    rel_abs = jnp.abs(rel_r)
+    flag = (rel_r >= 0).astype(rel_r.dtype)
+    idx = 2.0 * jnp.floor(jnp.log((rel_abs + 2 * a) / a) / math.log(2.0)) - 2.0
+    idx = idx + ((3.0 * (2.0 ** jnp.floor(idx / 2.0)) - 2.0) * a <= rel_abs).astype(
+        rel_r.dtype
+    )
+    idx = idx * (2.0 * flag - 1.0) + (flag - 1.0)
+    return idx.astype(jnp.int32) + 24
+
+
+class RPEParams(NamedTuple):
+    """Contextual RPE inputs for one attention branch.
+
+    tables: [L2, 3, h, d] (query/key/value); quant: [V, 3] int32 quantized
+    in-window coords; r: [V] float raw range (sphere branch only, for the
+    exponential split of axis 2); grid_len: quant_grid_length G;
+    a: exponential-split parameter (sphere branch only).
+    """
+
+    table_q: jax.Array
+    table_k: jax.Array
+    table_v: jax.Array
+    quant: jax.Array
+    grid_len: int
+    r: Optional[jax.Array] = None
+    a: float = 0.0125
+
+
+def _rel_indices(rpe: RPEParams, qi_quant, kj_quant, qi_r, kj_r):
+    """Per-pair 3-axis RPE bin indices [Tq, Tk, 3]."""
+    rel = qi_quant[:, None, :] - kj_quant[None, :, :]  # [Tq, Tk, 3]
+    idx = rel + rpe.grid_len - 1
+    if rpe.r is not None:
+        rel_r = qi_r[:, None] - kj_r[None, :]
+        idx = idx.at[:, :, 2].set(exponential_split_index(rel_r, rpe.a))
+        idx = jnp.clip(idx, 0, 2 * rpe.grid_len - 1)
+    return idx
+
+
+def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
+                    qi_quant, kj_quant, qi_r, kj_r):
+    """Masked attention for one (query tile, key band) pair.
+
+    q_t: [Tq, h, d]; k_t/v_t: [Tk, h, d]; same_window: [Tq, Tk] bool.
+    Returns [Tq, h, d].
+    """
+    attn = jnp.einsum("qhd,khd->qkh", q_t, k_t)  # [Tq, Tk, h]
+    if rpe is not None:
+        idx = _rel_indices(rpe, qi_quant, kj_quant, qi_r, kj_r)  # [Tq, Tk, 3]
+        tq = rpe.table_q[idx, jnp.arange(3)[None, None, :]]  # [Tq, Tk, 3, h, d]
+        attn = attn + jnp.einsum("qhd,qkahd->qkh", q_t, tq)
+        tk = rpe.table_k[idx, jnp.arange(3)[None, None, :]]
+        attn = attn + jnp.einsum("khd,qkahd->qkh", k_t, tk)
+    attn = jnp.where(same_window[:, :, None], attn, -jnp.inf)
+    attn = attn - jax.lax.stop_gradient(jnp.max(attn, axis=1, keepdims=True))
+    attn = jnp.where(jnp.isfinite(attn), attn, -jnp.inf)
+    e = jnp.exp(attn)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p = e / jnp.maximum(denom, 1e-20)  # [Tq, Tk, h]
+    out = jnp.einsum("qkh,khd->qhd", p, v_t)
+    if rpe is not None:
+        tv = rpe.table_v[idx, jnp.arange(3)[None, None, :]]  # [Tq, Tk, 3, h, d]
+        out = out + jnp.einsum("qkh,qkahd->qhd", p, tv)
+    return out
+
+
+def sparse_window_attention(
+    q: jax.Array,  # [V, h, d] (query pre-scaled by caller)
+    k: jax.Array,
+    v: jax.Array,
+    xyz: jax.Array,          # [V, 3] geometry for windows (cartesian or sphere)
+    valid: jax.Array,        # [V]
+    window_size,
+    shift: bool = False,
+    rpe: RPEParams | None = None,
+    band: int = 2,           # key band: this many tiles on each side
+    tile: int = 128,
+) -> jax.Array:
+    """Windowed self-attention over one sample.
+
+    Equivalent to ``sparse_self_attention`` (reference ``sptr/modules.py``)
+    with windows from ``get_indices_params``: sort by window id, banded
+    masked softmax attention, unsort. Exact when every window's occupancy is
+    <= band*tile (pairs beyond the band are dropped, matching windows only).
+    """
+    vcap, h, d = q.shape
+    whi, wlo = window_keys(xyz, valid, window_size, shift)
+    order = jax.lax.sort((whi, wlo, jnp.arange(vcap, dtype=jnp.int32)),
+                         num_keys=2, is_stable=True)[2]
+    qs, ks, vs = q[order], k[order], v[order]
+    whi_s, wlo_s = whi[order], wlo[order]
+    valid_s = valid[order]
+    if rpe is not None:
+        quant_s = rpe.quant[order]
+        r_s = rpe.r[order] if rpe.r is not None else jnp.zeros((vcap,), q.dtype)
+    else:
+        quant_s = jnp.zeros((vcap, 3), jnp.int32)
+        r_s = jnp.zeros((vcap,), q.dtype)
+
+    # pad to tile multiples + band margin
+    pad_to = -(-vcap // tile) * tile
+    margin = band * tile
+    total = pad_to + 2 * margin
+
+    def padkey(x):
+        return jnp.full((total,) + x.shape[1:], hashing.INVALID_KEY, x.dtype).at[
+            margin:margin + vcap
+        ].set(x)
+
+    def padz(x):
+        return jnp.zeros((total,) + x.shape[1:], x.dtype).at[
+            margin:margin + vcap
+        ].set(x)
+
+    whi_p, wlo_p = padkey(whi_s), padkey(wlo_s)
+    # make padded key rows distinct from real INVALID rows? Real invalid rows
+    # share INVALID_KEY with the margin padding — they may attend padding
+    # rows, but their outputs are masked by the caller anyway.
+    qp, kp, vp = padz(qs), padz(ks), padz(vs)
+    quant_p, r_p = padz(quant_s), padz(r_s)
+
+    n_tiles = pad_to // tile
+    width = (2 * band + 1) * tile
+
+    def body(carry, t):
+        qstart = margin + t * tile
+        kstart = t * tile  # = qstart - margin
+        q_t = jax.lax.dynamic_slice_in_dim(qp, qstart, tile)
+        k_t = jax.lax.dynamic_slice_in_dim(kp, kstart, width)
+        v_t = jax.lax.dynamic_slice_in_dim(vp, kstart, width)
+        wq_hi = jax.lax.dynamic_slice_in_dim(whi_p, qstart, tile)
+        wq_lo = jax.lax.dynamic_slice_in_dim(wlo_p, qstart, tile)
+        wk_hi = jax.lax.dynamic_slice_in_dim(whi_p, kstart, width)
+        wk_lo = jax.lax.dynamic_slice_in_dim(wlo_p, kstart, width)
+        same = (
+            (wq_hi[:, None] == wk_hi[None, :])
+            & (wq_lo[:, None] == wk_lo[None, :])
+        )
+        qq = jax.lax.dynamic_slice_in_dim(quant_p, qstart, tile)
+        kq = jax.lax.dynamic_slice_in_dim(quant_p, kstart, width)
+        qr = jax.lax.dynamic_slice_in_dim(r_p, qstart, tile)
+        kr = jax.lax.dynamic_slice_in_dim(r_p, kstart, width)
+        out_t = _tile_attention(q_t, k_t, v_t, same, rpe, qq, kq, qr, kr)
+        return carry, out_t
+
+    _, outs = jax.lax.scan(body, None, jnp.arange(n_tiles))
+    out_sorted = outs.reshape(pad_to, h, d)[:vcap]
+    # unsort
+    out = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+    return jnp.where(valid[:, None, None], out, 0.0)

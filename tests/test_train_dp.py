@@ -1,0 +1,119 @@
+"""Data-parallel train/eval on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from u2mkd_tpu.data import synthetic
+from u2mkd_tpu.models.spvcnn import SPVCNN
+from u2mkd_tpu.parallel import mesh as pmesh
+from u2mkd_tpu.train import metrics, optim, schedulers, state as train_state
+
+CAPS = (256, 128, 64, 32, 16)
+NCLS = 5
+
+
+def _batch(rng, b, p=250):
+    return {k: jnp.asarray(v) for k, v in
+            synthetic.make_batch(rng, b, p, voxel_size=0.3).items()}
+
+
+def test_single_device_train_and_eval(rng):
+    batch = _batch(rng, 2)
+    model = SPVCNN(num_classes=NCLS, cr=0.25)
+    sched = schedulers.cosine_schedule_with_warmup(2, 2, 100, 1)
+    tx = optim.make_optimizer("sgd", lambda s: 0.02 * sched(s))
+    st = train_state.create_train_state(model, tx, batch, CAPS, jax.random.PRNGKey(0))
+    step = jax.jit(train_state.make_train_step(model, tx, CAPS))
+    l0 = None
+    for i in range(5):
+        st, out = step(st, batch, jax.random.PRNGKey(42))
+        if l0 is None:
+            l0 = float(out["loss"])
+    assert float(out["loss"]) < l0
+
+    ev = jax.jit(train_state.make_eval_step(model, CAPS, NCLS))
+    res = ev(st, batch)
+    miou, per_class = metrics.compute_miou(res["counts"])
+    assert 0.0 <= miou <= 1.0
+    assert np.asarray(res["pred"]).shape == batch["labels"].shape
+
+
+def test_data_parallel_matches_single_device(rng):
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    b = 8
+    batch = _batch(rng, b)
+    model = SPVCNN(num_classes=NCLS, cr=0.25, axis_name=pmesh.DATA_AXIS)
+    model_sd = SPVCNN(num_classes=NCLS, cr=0.25)
+    tx = optim.make_optimizer("sgd", 0.05)
+    st = train_state.create_train_state(model_sd, tx, batch, CAPS, jax.random.PRNGKey(0))
+
+    # single-device reference step (full batch)
+    step_sd = jax.jit(train_state.make_train_step(model_sd, tx, CAPS))
+    st_sd, out_sd = step_sd(st, batch, jax.random.PRNGKey(7))
+
+    # 8-way DP step
+    m = pmesh.make_mesh(8)
+    step_dp = pmesh.data_parallel_step(
+        train_state.make_train_step(model, tx, CAPS, axis_name=pmesh.DATA_AXIS), m
+    )
+    st_dp, out_dp = step_dp(st, batch, jax.random.PRNGKey(7))
+
+    # loss: DP mean of per-shard losses vs single-device full-batch loss.
+    # Lovász is not linear in the batch, so allow a loose tolerance; CE part
+    # differs only by masked-count weighting.
+    assert np.isfinite(float(out_dp["loss"]))
+    np.testing.assert_allclose(
+        float(out_dp["loss"]), float(out_sd["loss"]), rtol=0.15
+    )
+
+    # parameters stay synchronized across devices (replicated state)
+    leaves = jax.tree_util.tree_leaves(st_dp.params)
+    for leaf in leaves[:3]:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(jax.device_get(leaf))
+        )
+
+    # eval with psum'd counters equals host-summed single-device counters
+    ev_dp = pmesh.data_parallel_eval(
+        train_state.make_eval_step(model, CAPS, NCLS, axis_name=pmesh.DATA_AXIS), m
+    )
+    res_dp = ev_dp(st_sd, batch)
+    ev_sd = jax.jit(train_state.make_eval_step(model_sd, CAPS, NCLS))
+    res_sd = ev_sd(st_sd, batch)
+    for k in ("seen", "correct", "positive"):
+        np.testing.assert_array_equal(
+            np.asarray(res_dp["counts"][k]), np.asarray(res_sd["counts"][k])
+        )
+
+
+def test_scheduler_values():
+    s = schedulers.cosine_schedule_with_warmup(25, 3, 28130, 4)
+    # warmup: 1000/4 = 250 iters
+    np.testing.assert_allclose(float(s(0)), 1 / 250, rtol=1e-5)
+    assert abs(float(s(249)) - 1.0) < 1e-6
+    # end of schedule ~ 0
+    iters = 25 * ((28130 + 11) // 12)
+    assert float(s(iters + 250 - 1)) < 1e-4
+    # single device: no warmup
+    s1 = schedulers.cosine_schedule_with_warmup(25, 3, 28130, 1)
+    assert abs(float(s1(0)) - 1.0) < 1e-5
+
+
+def test_transformer_lr_mask(rng):
+    import optax
+
+    params = {
+        "stem0": {"kernel": jnp.ones((3, 4))},
+        "sphereformer1": {"attn": {"qkv": {"kernel": jnp.ones((4, 12))}}},
+    }
+    tx = optim.make_optimizer("sgd_spformer", 1.0, weight_decay=0.0,
+                              transformer_lr_scale=0.1)
+    st = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    up, _ = tx.update(g, st, params)
+    # nesterov sgd first step: update = -(lr)*(g + momentum*g) = -1.9
+    np.testing.assert_allclose(np.asarray(up["stem0"]["kernel"]), -1.9)
+    np.testing.assert_allclose(
+        np.asarray(up["sphereformer1"]["attn"]["qkv"]["kernel"]), -0.19
+    )

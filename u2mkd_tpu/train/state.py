@@ -1,0 +1,128 @@
+"""Train state + jitted step factories for the uni-modal (teacher) recipe.
+
+One jitted step = plumbing build + forward + loss + grad + optimizer update
+(+ psum over the data-parallel mesh axis when ``axis_name`` is set),
+replacing the reference's trainer ``_run_step`` + DDP allreduce
+(``core/spformer_trainer.py:58-94``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from u2mkd_tpu.models import plumbing as P
+from u2mkd_tpu.ops import losses
+from u2mkd_tpu.train import metrics
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+
+
+def create_train_state(model, tx, sample_batch, capacities, rng) -> TrainState:
+    pl = P.build_plumbing(
+        jnp.asarray(sample_batch["pcoords"]), jnp.asarray(sample_batch["xyz"]),
+        jnp.asarray(sample_batch["pmask"]), capacities,
+    )
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        jnp.asarray(sample_batch["feats"]), pl, True,
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    capacities: Tuple[int, ...],
+    ignore_label: int = 0,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Teacher step: Lovász+CE on keyframe-masked points
+    (reference ``spformer_trainer.py:78-94``)."""
+
+    def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        pl = P.build_plumbing(
+            batch["pcoords"], batch["xyz"], batch["pmask"], capacities
+        )
+        valid = (
+            batch["pmask"]
+            & batch["keyframe_mask"]
+            & (batch["labels"] != ignore_label)
+        )
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["feats"], pl, True,
+                rngs={"dropout": jax.random.fold_in(rng, state.step)},
+                mutable=["batch_stats"],
+            )
+            logits = out["x_vox"]
+            flat_logits = logits.reshape(-1, logits.shape[-1])
+            flat_labels = batch["labels"].reshape(-1)
+            flat_valid = valid.reshape(-1)
+            loss = losses.lovasz_ce(flat_logits, flat_labels, flat_valid)
+            return loss, (mut["batch_stats"], logits)
+
+        (loss, (bs, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=bs,
+            opt_state=opt_state,
+        )
+        return new_state, {"loss": loss}
+
+    return step_fn
+
+
+def make_eval_step(
+    model,
+    capacities: Tuple[int, ...],
+    num_classes: int,
+    ignore_label: int = 0,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Eval step: argmax predictions + IoU counters (devoxelization back to
+    raw points happens in the host pipeline via inverse maps, reference
+    ``spformer_trainer.py:96-115``)."""
+
+    def eval_fn(state: TrainState, batch: Dict) -> Dict:
+        pl = P.build_plumbing(
+            batch["pcoords"], batch["xyz"], batch["pmask"], capacities
+        )
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["feats"], pl, False,
+        )
+        pred = jnp.argmax(out["x_vox"], axis=-1)
+        valid = batch["pmask"] & batch["keyframe_mask"]
+        counts = metrics.iou_counts(
+            pred.reshape(-1), batch["labels"].reshape(-1), valid.reshape(-1),
+            num_classes, ignore_label,
+        )
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        return {"pred": pred, "counts": counts, "logits": out["x_vox"]}
+
+    return eval_fn

@@ -1,0 +1,84 @@
+"""Benchmark: teacher train-step throughput (scans/sec) on the local device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
+against this repo's own first recorded TPU run (BENCH_BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from u2mkd_tpu.data import synthetic
+    from u2mkd_tpu.train import optim, state as train_state
+    from __graft_entry__ import _teacher_model
+
+    quick = "--quick" in sys.argv
+    platform = jax.devices()[0].platform
+
+    # realistic-ish single-sweep scale, sized to keep first-compile tolerable
+    batch_size = 2
+    num_points = 4096 if quick else 32768
+    caps = tuple(
+        int(c) for c in (
+            (4096, 2048, 1024, 512, 256) if quick else (32768, 16384, 8192, 4096, 2048)
+        )
+    )
+    voxel_size = 0.1
+
+    model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size)
+    rng = np.random.RandomState(0)
+    raw = synthetic.make_batch(rng, batch_size, num_points, voxel_size=voxel_size)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+
+    tx = optim.make_optimizer("sgd_spformer", 0.02)
+    st = train_state.create_train_state(model, tx, batch, caps, jax.random.PRNGKey(0))
+    step = jax.jit(train_state.make_train_step(model, tx, caps))
+
+    # warmup / compile
+    t0 = time.time()
+    st, out = step(st, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(out["loss"])
+    compile_s = time.time() - t0
+
+    iters = 3 if quick else 10
+    t0 = time.time()
+    for i in range(iters):
+        st, out = step(st, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out["loss"])
+    dt = (time.time() - t0) / iters
+    scans_per_sec = batch_size / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs = scans_per_sec / base["value"]
+    print(json.dumps({
+        "metric": "teacher_train_scans_per_sec",
+        "value": round(scans_per_sec, 3),
+        "unit": f"scans/sec ({platform}, P={num_points}, B={batch_size}, "
+                f"compile={compile_s:.0f}s, loss={float(out['loss']):.3f})",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+from u2mkd_tpu.utils.jaxinit import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

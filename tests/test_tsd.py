@@ -1,0 +1,98 @@
+"""TSD distillation end-to-end: student+teacher forward, full loss stack,
+frozen-teacher optimizer, lidar-only path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from u2mkd_tpu.data import synthetic
+from u2mkd_tpu.models.tsd import TSDFull
+from u2mkd_tpu.train import distill, optim
+
+S_CAPS = (192, 96, 48, 24, 12)
+T_CAPS = (256, 128, 64, 32, 16)
+NCLS = 5
+
+
+def _model():
+    return TSDFull(
+        num_classes=NCLS, cr=0.25, cr_t=0.5, head_dim=4,
+        window_size=(1.2, 1.2, 1.2), quant_size=(1.2 / 8, 1.2 / 8, 1.2 / 8),
+        window_size_sphere=(30.0, 30.0, 120.0),
+        quant_size_sphere=(30.0 / 8, 30.0 / 8, 5.0),
+    )
+
+
+def _batch(rng, b=2, p=200, tp=280):
+    raw = synthetic.make_multimodal_batch(rng, b, p, tp, voxel_size=0.3,
+                                          num_cams=2, im_hw=(32, 48))
+    return jax.tree_util.tree_map(jnp.asarray, raw)
+
+
+def test_distill_train_step(rng):
+    batch = _batch(rng)
+    model = _model()
+    base_tx = optim.make_optimizer("sgd_spformer", 0.01)
+    tx = distill.make_frozen_teacher_optimizer(base_tx)
+    st = distill.create_distill_state(
+        model, tx, batch["student"], batch["teacher"], S_CAPS, T_CAPS,
+        jax.random.PRNGKey(0),
+    )
+    step = jax.jit(distill.make_distill_train_step(model, tx, S_CAPS, T_CAPS))
+
+    t_leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(st.params["model_t"])[0]
+    ).copy()
+    s_leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(st.params["model_s"])[0]
+    ).copy()
+
+    aux0 = None
+    for i in range(3):
+        st, aux = step(st, batch, jax.random.PRNGKey(5))
+        if aux0 is None:
+            aux0 = {k: float(v) for k, v in aux.items()}
+    for k, v in aux.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # all loss terms present and nonzero-ish
+    assert aux0["ce_vox"] > 0 and aux0["ce_pix"] > 0
+    assert aux0["kl"] >= 0 and aux0["feat"] >= 0 and aux0["mse"] >= 0
+    # training reduces total loss
+    assert float(aux["loss"]) < aux0["loss"]
+
+    # teacher frozen, student updated
+    t_leaf_after = np.asarray(jax.tree_util.tree_leaves(st.params["model_t"])[0])
+    s_leaf_after = np.asarray(jax.tree_util.tree_leaves(st.params["model_s"])[0])
+    np.testing.assert_array_equal(t_leaf_before, t_leaf_after)
+    assert not np.allclose(s_leaf_before, s_leaf_after)
+
+
+def test_distill_eval_and_lidar_only(rng):
+    batch = _batch(rng)
+    model = _model()
+    base_tx = optim.make_optimizer("sgd", 0.01)
+    tx = distill.make_frozen_teacher_optimizer(base_tx)
+    st = distill.create_distill_state(
+        model, tx, batch["student"], batch["teacher"], S_CAPS, T_CAPS,
+        jax.random.PRNGKey(0),
+    )
+    ev = jax.jit(distill.make_distill_eval_step(model, S_CAPS, T_CAPS, NCLS))
+    res = ev(st, batch)
+    assert np.asarray(res["pred_vox"]).shape == batch["student"]["labels"].shape
+    assert np.asarray(res["pred_pix"]).shape == batch["student"]["labels"].shape
+    for k in ("counts_vox", "counts_pix"):
+        for a in res[k].values():
+            assert np.all(np.asarray(a) >= 0)
+
+    # camera-free inference path (uses learner pseudo features)
+    from u2mkd_tpu.models import plumbing as P
+
+    sb = batch["student"]
+    spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], S_CAPS)
+    out = model.apply(
+        {"params": st.params, "batch_stats": st.batch_stats},
+        sb, spl, False, method=TSDFull.lidar_only,
+    )
+    x = np.asarray(out["x_vox"])
+    assert x.shape == (2, 200, NCLS)
+    assert np.isfinite(x).all()

@@ -1,0 +1,158 @@
+"""Stage-2 cross-modal student training CLI (TSD distillation).
+
+Equivalent of reference ``train_lc_nusc_tsd_full.py``: paired
+student/teacher batches, frozen teacher restored from the stage-1
+checkpoint, full distillation loss stack, vox + pix MeanIoU eval.
+
+Usage:
+  python train_lc_nusc_tsd_full.py configs/synthetic/train/tsd_tiny.yaml \
+      --run-dir /tmp/run [model.teacher_pretrain=path] [k.e.y=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--run-dir", required=True)
+    parser.add_argument("--weight-path", default=None)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("opts", nargs="*")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from u2mkd_tpu.parallel import mesh as pmesh
+    from u2mkd_tpu.train import builder, distill, loop
+    from u2mkd_tpu.utils import config as config_lib
+
+    cfg = config_lib.load(args.config)
+    config_lib.update_dotted(cfg, args.opts)
+
+    n_dev = jax.device_count()
+    use_dp = n_dev > 1 and cfg.batch_size % n_dev == 0
+    axis = pmesh.DATA_AXIS if use_dp else None
+
+    model = builder.make_model(cfg, axis_name=axis)
+    model_init = builder.make_model(cfg, axis_name=None)
+    base_tx = builder.make_optimizer_and_schedule(
+        cfg, world_size=n_dev if use_dp else 1
+    )
+    tx = distill.make_frozen_teacher_optimizer(base_tx)
+    s_caps = tuple(cfg.get_path("student_capacities") or cfg.capacities)
+    t_caps = tuple(cfg.get_path("teacher_capacities") or cfg.capacities)
+
+    if cfg.dataset.name == "synthetic":
+        train_loader, val_loader = make_synthetic_distill_loaders(cfg)
+    else:
+        from u2mkd_tpu.data import loaders
+
+        train_loader, val_loader = loaders.make_distill_loaders(cfg)
+
+    sample = next(iter(train_loader()))
+    st = distill.create_distill_state(
+        model_init, tx, sample["student"], sample["teacher"], s_caps, t_caps,
+        jax.random.PRNGKey(cfg.train.seed % (2**31)),
+    )
+
+    # three restore modes (reference nusc_trainers.py:173-201)
+    if args.weight_path:  # full resume
+        import orbax.checkpoint as ocp
+
+        st = ocp.StandardCheckpointer().restore(
+            args.weight_path, target=jax.device_get(st)
+        )
+        print(f"resumed from {args.weight_path}")
+    else:
+        from u2mkd_tpu.train import checkpoints as ckpt_lib
+
+        pretrain = cfg.get_path("model.pretrain_weight")
+        if pretrain:  # backbone pretrain sans classifier
+            st = st.replace(
+                params=ckpt_lib.load_pretrain_params(pretrain, st.params)
+            )
+            print(f"loaded pretrain (no classifier) from {pretrain}")
+        teacher = cfg.get_path("model.teacher_pretrain")
+        if teacher:  # teacher-only
+            st = st.replace(
+                params=ckpt_lib.load_teacher_params(teacher, st.params),
+                batch_stats=ckpt_lib.load_teacher_batch_stats(
+                    teacher, st.batch_stats
+                ),
+            )
+            print(f"loaded frozen teacher from {teacher}")
+
+    ignore = cfg.criterion.ignore_index
+    ncls = cfg.data.num_classes
+    kw = dict(
+        w_kl=cfg.criterion.get("w_kl", 1.0),
+        w_feat=cfg.criterion.get("w_feat", 1.0), ignore_label=ignore,
+        mse_norm_feat=cfg.criterion.get("mse_norm_feat", False),
+    )
+    if use_dp:
+        mesh = pmesh.make_mesh()
+        step = pmesh.data_parallel_step(
+            distill.make_distill_train_step(model, tx, s_caps, t_caps,
+                                            axis_name=axis, **kw), mesh
+        )
+        ev = jax.jit(
+            distill.make_distill_eval_step(model_init, s_caps, t_caps, ncls,
+                                           ignore)
+        )
+    else:
+        step = jax.jit(
+            distill.make_distill_train_step(model, tx, s_caps, t_caps, **kw)
+        )
+        ev = jax.jit(
+            distill.make_distill_eval_step(model, s_caps, t_caps, ncls, ignore)
+        )
+
+    trainer = loop.Trainer(
+        run_dir=args.run_dir, state=st, train_step=step, eval_step=ev,
+        train_loader=train_loader, val_loader=val_loader,
+        num_epochs=cfg.num_epochs, num_classes=ncls,
+        seed=cfg.train.seed % (2**31), ignore_label=ignore,
+        eval_counts_key="counts_vox", extra_count_keys=("counts_pix",),
+        epoch_to_save=cfg.get_path("epoch_to_save", 0),
+    )
+    trainer.train()
+
+
+def make_synthetic_distill_loaders(cfg):
+    import numpy as np
+    import jax
+
+    from u2mkd_tpu.data import synthetic
+
+    b = cfg.batch_size
+    p = cfg.dataset.num_points
+    tp = cfg.dataset.teacher_points
+    n_train = cfg.data.training_size // b
+    n_val = max(2, n_train // 4)
+    seed = cfg.train.seed % (2**31)
+
+    def gen(seed_off, n):
+        def it():
+            rng = np.random.RandomState(seed + seed_off)
+            for _ in range(n):
+                raw = synthetic.make_multimodal_batch(
+                    rng, b, p, tp, cfg.dataset.voxel_size,
+                    num_cams=cfg.dataset.num_cams,
+                    im_hw=tuple(cfg.dataset.image_size),
+                )
+                yield jax.tree_util.tree_map(jax.numpy.asarray, raw)
+
+        return it
+
+    return gen(0, n_train), gen(1, n_val)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""nuScenes official split resolution.
+
+Priority: (1) the official sample-index files shipped in ``data/nuscenes/``
+(same artifacts the reference loads, ``semantic_nusc.py:154-159``);
+(2) a user-provided scene-name list file; (3) a deterministic hash split
+fallback (with a loud warning — NOT the official benchmark split).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_REPO_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "..", "data", "nuscenes")
+
+
+def official_indices(split: str) -> Optional[np.ndarray]:
+    path = os.path.join(_REPO_DATA, f"nuscenes_{split}_official.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    return None
+
+
+def split_scenes(split: str, version: str) -> List[str]:
+    """Scene-name based fallback split (only used when the official index
+    files are absent, e.g. custom mini datasets)."""
+    raise NotImplementedError(
+        "scene-name splits need either the official index files in "
+        "data/nuscenes/ or an explicit scene list"
+    )
+
+
+def select_samples(samples: List[dict], split: str, scene_name_fn) -> List[dict]:
+    idx = official_indices(split)
+    if idx is not None and len(samples) > int(idx.max()):
+        return [samples[i] for i in idx]
+    # deterministic hash fallback: ~85/15 by scene name
+    import warnings
+
+    warnings.warn(
+        "official nuScenes split indices unavailable or incompatible; "
+        "using a deterministic hash split (NOT the benchmark split)"
+    )
+    out = []
+    for s in samples:
+        h = int(hashlib.md5(scene_name_fn(s).encode()).hexdigest(), 16) % 100
+        is_val = h < 15
+        if (split == "val") == is_val:
+            out.append(s)
+    return out

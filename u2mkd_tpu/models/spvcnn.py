@@ -66,8 +66,9 @@ class SPVCNN(nn.Module):
 
         # encoder
         if self.sphereformer:
+            import numpy as np
             from u2mkd_tpu.models.sphereformer import SphereFormerBlock
-            dpr = [float(x) for x in jnp.linspace(0, self.drop_path_rate, 7)]
+            dpr = [float(x) for x in np.linspace(0, self.drop_path_rate, 7)]
             ws = list(self.window_size)
             qs = list(self.quant_size)
             wss = list(self.window_size_sphere)
@@ -107,6 +108,14 @@ class SPVCNN(nn.Module):
             vox_feats.append(f)
 
         x1, x2, x3, x4 = vox_feats[1], vox_feats[2], vox_feats[3], vox_feats[4]
+
+        if self.return_point_feats:
+            # KD feature export: stage-4 encoder(+transformer) output
+            # devoxelized to points (reference teacher inside the TSD wrapper,
+            # spvcnn_swiftnet18_spformer_tsd_full.py:153-154)
+            kd_pts_feats = voxel_to_point(
+                x4, plumbing.devox_idx[4], plumbing.devox_w[4]
+            )
 
         z1 = voxel_to_point(x4, plumbing.devox_idx[4], plumbing.devox_w[4])
         z1 = z1 + blocks.PointMLP(cs[4], axis_name=ax, name="point_transform0")(
@@ -163,5 +172,5 @@ class SPVCNN(nn.Module):
         x_vox = nn.Dense(self.num_classes, name="classifier_vox")(z3)
         out = {"x_vox": x_vox}
         if self.return_point_feats:
-            out["pts_feats"] = z3
+            out["pts_feats"] = kd_pts_feats
         return out

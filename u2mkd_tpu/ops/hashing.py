@@ -122,15 +122,21 @@ def lookup(qhi: jax.Array, qlo: jax.Array, thi: jax.Array, tlo: jax.Array) -> ja
     """
     t = thi.shape[0]
     nbits = max(1, t.bit_length())  # enough rounds to narrow a range of t+1 values
-    lo_b = jnp.zeros(qhi.shape, jnp.int32)
-    hi_b = jnp.full(qhi.shape, t, jnp.int32)
-    for _ in range(nbits):
+
+    def body(_, carry):
+        lo_b, hi_b = carry
         mid = (lo_b + hi_b) >> 1
-        mhi = thi[jnp.clip(mid, 0, t - 1)]
-        mlo = tlo[jnp.clip(mid, 0, t - 1)]
+        mid_c = jnp.clip(mid, 0, t - 1)
+        mhi = thi[mid_c]
+        mlo = tlo[mid_c]
         less = key_less(mhi, mlo, qhi, qlo)
-        lo_b = jnp.where(less, mid + 1, lo_b)
-        hi_b = jnp.where(less, hi_b, mid)
+        return jnp.where(less, mid + 1, lo_b), jnp.where(less, hi_b, mid)
+
+    lo_b, _ = jax.lax.fori_loop(
+        0, nbits,
+        body,
+        (jnp.zeros(qhi.shape, jnp.int32), jnp.full(qhi.shape, t, jnp.int32)),
+    )
     pos = jnp.clip(lo_b, 0, t - 1)
     found = (thi[pos] == qhi) & (tlo[pos] == qlo) & (qhi != INVALID_KEY)
     return jnp.where(found, pos, -1)

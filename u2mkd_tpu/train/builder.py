@@ -1,0 +1,121 @@
+"""Config -> model / optimizer / dataset factories.
+
+Equivalent of the reference ``core/builder.py`` (make_model at
+``builder.py:533-620``: window_size = voxel_size * patch_size * window_cfg,
+quant = window / quant_size_scale; make_optimizer at ``builder.py:662-719``;
+make_scheduler at ``builder.py:722-747``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from u2mkd_tpu.train import optim, schedulers
+from u2mkd_tpu.utils.config import Config
+
+
+def window_geometry(cfg: Config):
+    voxel_size = cfg.dataset.voxel_size
+    vs = [voxel_size] * 3 if not isinstance(voxel_size, list) else voxel_size
+    patch = np.asarray([v * cfg.model.patch_size for v in vs], np.float32)
+    window_size = tuple(float(x) for x in patch * cfg.model.window_size)
+    wss = tuple(float(x) for x in cfg.model.window_size_sphere)
+    scale = cfg.model.quant_size_scale
+    quant = tuple(w / scale for w in window_size)
+    quant_sphere = tuple(w / scale for w in wss)
+    return window_size, wss, quant, quant_sphere
+
+
+def make_model(cfg: Config, axis_name: Optional[str] = None):
+    name = cfg.model.name
+    ws, wss, qs, qss = window_geometry(cfg)
+    common = dict(
+        num_classes=cfg.data.num_classes,
+        window_size=ws, window_size_sphere=wss,
+        quant_size=qs, quant_size_sphere=qss,
+        window_size_scale=tuple(cfg.model.window_size_scale),
+        drop_path_rate=cfg.model.drop_path_rate,
+        sphere_a=cfg.model.a,
+        head_dim=cfg.model.get("head_dim", 16),
+        axis_name=axis_name,
+    )
+    if name == "spvcnn":
+        from u2mkd_tpu.models.spvcnn import SPVCNN
+
+        return SPVCNN(
+            num_classes=cfg.data.num_classes, cr=cfg.model.cr,
+            in_channel=cfg.model.in_channel, axis_name=axis_name,
+        )
+    if name == "spvcnn_spformer":
+        from u2mkd_tpu.models.spvcnn import SPVCNN
+
+        return SPVCNN(
+            cr=cfg.model.cr, in_channel=cfg.model.in_channel,
+            sphereformer=True, **common,
+        )
+    if name == "spvcnn_swiftnet18_spformer_tsd_full":
+        from u2mkd_tpu.models.tsd import TSDFull
+
+        return TSDFull(
+            cr=cfg.model.cr, cr_t=cfg.model.cr_t,
+            in_channel=cfg.model.in_channel,
+            in_channel_t=cfg.model.get("in_channel_t", 4),
+            run_pix_decoder=cfg.get_path("eval.run_pix_decoder", True),
+            **common,
+        )
+    raise NotImplementedError(name)
+
+
+def make_optimizer_and_schedule(cfg: Config, world_size: int = 1):
+    o = cfg.optimizer
+    name = cfg.scheduler.name
+    if name == "cosine_warmup":
+        sched = schedulers.cosine_schedule_with_warmup(
+            cfg.num_epochs, cfg.batch_size, cfg.data.training_size, world_size
+        )
+    elif name == "poly":
+        sched = schedulers.poly_lr(
+            cfg.num_epochs * cfg.data.training_size,
+            cfg.scheduler.get("power", 0.9),
+        )
+    elif name == "none":
+        sched = lambda s: 1.0
+    else:
+        raise NotImplementedError(name)
+
+    lr = lambda step: o.lr * sched(step)
+    tx = optim.make_optimizer(
+        o.name, lr, weight_decay=o.weight_decay,
+        momentum=o.get("momentum", 0.9), nesterov=o.get("nesterov", True),
+        transformer_lr_scale=o.get("transformer_lr_scale", 0.1),
+    )
+    return tx
+
+
+def make_synthetic_loaders(cfg: Config, seed: int = 0):
+    """Synthetic train/val loader callables (batch dicts of jnp arrays)."""
+    import jax.numpy as jnp
+
+    from u2mkd_tpu.data import synthetic
+
+    b = cfg.batch_size
+    p = cfg.dataset.num_points
+    n_train = cfg.data.training_size // b
+    n_val = max(2, n_train // 4)
+
+    def to_dev(x):
+        return {k: jnp.asarray(v) for k, v in x.items()}
+
+    def train_loader():
+        rng = np.random.RandomState(seed)
+        for _ in range(n_train):
+            yield to_dev(synthetic.make_batch(rng, b, p, cfg.dataset.voxel_size))
+
+    def val_loader():
+        rng = np.random.RandomState(seed + 1)
+        for _ in range(n_val):
+            yield to_dev(synthetic.make_batch(rng, b, p, cfg.dataset.voxel_size))
+
+    return train_loader, val_loader

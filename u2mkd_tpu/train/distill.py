@@ -1,0 +1,192 @@
+"""TSD distillation train/eval steps.
+
+One jitted step runs student + frozen teacher forward and the full loss
+stack (reference ``NuScenesLCTSDFullTrainer._run_step``,
+``core/nusc_trainers.py:255-365``):
+
+  loss = LovaszCE(x_vox) + LovaszCE(x_pix | FOV) + w_kl * KL(stu || teacher)
+       + sum(per-stage learner MSE) + w_feat * MSE(adapted stage-4 feats)
+
+The reference's python per-sample teacher->student remapping loops
+(``:288-324``: inverse_map -> keyframe filter -> inds gather) are
+precomposed by the data pipeline into one gather index array ``t2s``
+([B, Ps] student point -> teacher point row) and folded into the step as a
+single take-along-axis (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from u2mkd_tpu.models import plumbing as P
+from u2mkd_tpu.ops import losses
+from u2mkd_tpu.train import metrics
+from u2mkd_tpu.train.state import TrainState
+
+
+def make_frozen_teacher_optimizer(tx: optax.GradientTransformation):
+    """Zero updates for the ``model_t`` subtree (frozen teacher,
+    reference ``requires_grad_(False)``)."""
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "freeze" if str(path[0]) in ("model_t", "['model_t']")
+            or "model_t" in str(path[0]) else "train",
+            params,
+        )
+
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+    )
+
+
+def create_distill_state(model, tx, student_batch, teacher_batch,
+                         s_caps, t_caps, rng) -> TrainState:
+    @jax.jit
+    def init_fn(sb, tb, rng):
+        spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], s_caps)
+        tpl = P.build_plumbing(tb["pcoords"], tb["xyz"], tb["pmask"], t_caps)
+        return model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            sb, spl, tb, tpl, True,
+        )
+
+    variables = init_fn(student_batch, teacher_batch, rng)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        batch_stats=variables.get("batch_stats", {}), opt_state=tx.init(params),
+    )
+
+
+def make_distill_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    s_caps: Tuple[int, ...],
+    t_caps: Tuple[int, ...],
+    w_kl: float = 1.0,
+    w_feat: float = 1.0,
+    ignore_label: int = 0,
+    mse_norm_feat: bool = False,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        sb, tb = batch["student"], batch["teacher"]
+        spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], s_caps)
+        tpl = P.build_plumbing(tb["pcoords"], tb["xyz"], tb["pmask"], t_caps)
+        labels = sb["labels"]
+        pmask = sb["pmask"]
+        fov = sb["fov_mask"] & pmask
+        label_valid = pmask & (labels != ignore_label)
+        t2s = batch["t2s"]  # [B, Ps] teacher point row per student point
+        t2s_valid = pmask & (t2s >= 0)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                sb, spl, tb, tpl, True,
+                rngs={"dropout": jax.random.fold_in(rng, state.step)},
+                mutable=["batch_stats"],
+            )
+            stu, tch = out["stu"], out["t"]
+            ncls = stu["x_vox"].shape[-1]
+            flat = lambda x: x.reshape(-1, x.shape[-1])
+            fl = labels.reshape(-1)
+
+            ce_vox = losses.lovasz_ce(flat(stu["x_vox"]), fl, label_valid.reshape(-1))
+            ce_pix = losses.lovasz_ce(
+                flat(stu["x_pix"]), fl, (label_valid & fov).reshape(-1)
+            )
+
+            # teacher logits/features remapped to student point order
+            gather = lambda a: jnp.take_along_axis(
+                a, jnp.clip(t2s, 0)[..., None], axis=1
+            )
+            x_vox_t2s = gather(tch["x_vox"])
+            feat_t2s = gather(tch["pts_feats"])
+            kl = losses.kl_div_batchmean(
+                flat(stu["x_vox"]), flat(x_vox_t2s), t2s_valid.reshape(-1)
+            )
+
+            feat_s = stu["pts_feats"]
+            if mse_norm_feat:
+                def minmax(x):
+                    mx = jnp.max(x, -1, keepdims=True)
+                    mn = jnp.min(x, -1, keepdims=True)
+                    return (x - mn) / jnp.maximum(mx - mn, 1e-12)
+                feat_s, feat_t2s = minmax(feat_s), minmax(feat_t2s)
+            feat = losses.masked_mse(
+                flat(feat_s), flat(feat_t2s), t2s_valid.reshape(-1)
+            )
+
+            mse_sum = sum(stu["mse_loss"])
+            loss = ce_vox + ce_pix + w_kl * kl + mse_sum + w_feat * feat
+            aux = {
+                "loss": loss, "ce_vox": ce_vox, "ce_pix": ce_pix, "kl": kl,
+                "feat": feat, "mse": mse_sum,
+            }
+            return loss, (mut["batch_stats"], aux)
+
+        (loss, (bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, batch_stats=bs,
+                       opt_state=opt_state),
+            aux,
+        )
+
+    return step_fn
+
+
+def make_distill_eval_step(
+    model,
+    s_caps: Tuple[int, ...],
+    t_caps: Tuple[int, ...],
+    num_classes: int,
+    ignore_label: int = 0,
+    axis_name: Optional[str] = None,
+    run_teacher: bool = False,
+) -> Callable:
+    """Eval: student vox + pix heads -> predictions and IoU counters
+    (pix scored only on FOV points, reference
+    ``train_lc_nusc_tsd_full.py:106-121``)."""
+
+    def eval_fn(state: TrainState, batch: Dict) -> Dict:
+        sb, tb = batch["student"], batch["teacher"]
+        spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], s_caps)
+        tpl = P.build_plumbing(tb["pcoords"], tb["xyz"], tb["pmask"], t_caps)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sb, spl, tb, tpl, False, run_teacher,
+        )
+        stu = out["stu"]
+        pred_vox = jnp.argmax(stu["x_vox"], axis=-1)
+        pred_pix = jnp.argmax(stu["x_pix"], axis=-1)
+        valid = sb["pmask"]
+        fov = valid & sb["fov_mask"]
+        counts_vox = metrics.iou_counts(
+            pred_vox.reshape(-1), sb["labels"].reshape(-1), valid.reshape(-1),
+            num_classes, ignore_label,
+        )
+        counts_pix = metrics.iou_counts(
+            pred_pix.reshape(-1), sb["labels"].reshape(-1), fov.reshape(-1),
+            num_classes, ignore_label,
+        )
+        res = {"pred_vox": pred_vox, "pred_pix": pred_pix,
+               "counts_vox": counts_vox, "counts_pix": counts_pix}
+        if axis_name is not None:
+            res["counts_vox"] = jax.lax.psum(counts_vox, axis_name)
+            res["counts_pix"] = jax.lax.psum(counts_pix, axis_name)
+        return res
+
+    return eval_fn

@@ -1,0 +1,165 @@
+"""Epoch training loop with eval, metric logging and checkpoint callbacks.
+
+Replaces torchpack's ``Trainer.train_with_defaults`` + ``InferenceRunner`` +
+``MeanIoU``/``Saver``/``MaxSaver`` callback stack (reference
+``train_spformer.py:97-115``, ``core/callbacks.py``): one plain Python loop
+driving jitted steps, JSONL + optional TensorBoard metric writers, per-class
+IoU table, per-step latency tracking with warmup trim (``InferTime``,
+``callbacks.py:203-220``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from u2mkd_tpu.train import metrics as M
+from u2mkd_tpu.train.checkpoints import CheckpointManager
+
+
+class SummaryWriter:
+    """JSONL metrics log + optional TF events (via torch.utils.tensorboard)."""
+
+    def __init__(self, run_dir: str, tensorboard: bool = True):
+        os.makedirs(run_dir, exist_ok=True)
+        self._f = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter as TBWriter
+
+                self._tb = TBWriter(log_dir=os.path.join(run_dir, "tb"))
+            except Exception:
+                self._tb = None
+
+    def add_scalar(self, name: str, value: float, step: int):
+        self._f.write(json.dumps({"name": name, "value": float(value),
+                                  "step": int(step), "ts": time.time()}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(name, value, step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def format_iou_table(per_class: np.ndarray, miou: float,
+                     class_names: Optional[List[str]] = None) -> str:
+    names = class_names or [f"c{i}" for i in range(len(per_class))]
+    rows = [
+        (n, f"{v * 100:.2f}")
+        for n, v in zip(names, per_class)
+        if not np.isnan(v)
+    ]
+    rows.append(("Mean", f"{miou * 100:.2f}"))
+    w1 = max(len(r[0]) for r in rows)
+    w2 = max(len(r[1]) for r in rows)
+    sep = "+" + "-" * (w1 + 2) + "+" + "-" * (w2 + 2) + "+"
+    lines = [sep]
+    for n, v in rows:
+        lines.append(f"| {n:<{w1}} | {v:>{w2}} |")
+    lines.append(sep)
+    return "\n".join(lines)
+
+
+class Trainer:
+    """Generic epoch loop over jitted train/eval steps.
+
+    train_loader()/val_loader(): callables returning an iterable of batch
+    dicts (fresh each epoch). eval_counts_key selects which counter dict in
+    the eval output feeds the checkpointed mIoU (vox head by default).
+    """
+
+    def __init__(
+        self,
+        run_dir: str,
+        state,
+        train_step: Callable,
+        eval_step: Callable,
+        train_loader: Callable[[], Iterable],
+        val_loader: Callable[[], Iterable],
+        num_epochs: int,
+        num_classes: int,
+        seed: int = 0,
+        ignore_label: int = 0,
+        class_names: Optional[List[str]] = None,
+        eval_counts_key: str = "counts",
+        extra_count_keys: Iterable[str] = (),
+        epoch_to_save: int = 0,
+        log_every: int = 10,
+    ):
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.state = state
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.num_epochs = num_epochs
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.class_names = class_names
+        self.eval_counts_key = eval_counts_key
+        self.extra_count_keys = tuple(extra_count_keys)
+        self.summary = SummaryWriter(self.run_dir)
+        self.ckpt = CheckpointManager(self.run_dir, epoch_to_save=epoch_to_save)
+        self.log_every = log_every
+        self.rng = jax.random.PRNGKey(seed)
+        self.global_step = 0
+
+    def evaluate(self) -> Dict[str, float]:
+        totals = {
+            k: M.zeros_counts(self.num_classes)
+            for k in (self.eval_counts_key,) + self.extra_count_keys
+        }
+        infer_times = []
+        for batch in self.val_loader():
+            t0 = time.time()
+            out = self.eval_step(self.state, batch)
+            jax.block_until_ready(out)
+            infer_times.append(time.time() - t0)
+            for k in totals:
+                totals[k] = M.merge_counts(totals[k], jax.device_get(out[k]))
+        results = {}
+        for k, counts in totals.items():
+            miou, per_class = M.compute_miou(counts, self.ignore_label)
+            results[k] = miou
+            print(f"[val] {k}:")
+            print(format_iou_table(per_class, miou, self.class_names))
+        if len(infer_times) > 13:  # warmup trim like InferTime ([10:-3])
+            results["infer_time_ms"] = float(np.mean(infer_times[10:-3]) * 1000)
+        return results
+
+    def train(self):
+        for epoch in range(1, self.num_epochs + 1):
+            t_epoch = time.time()
+            n_steps = 0
+            for batch in self.train_loader():
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, aux = self.train_step(self.state, batch, sub)
+                self.global_step += 1
+                n_steps += 1
+                if self.global_step % self.log_every == 0:
+                    for k, v in jax.device_get(aux).items():
+                        self.summary.add_scalar(f"train/{k}", float(v),
+                                                self.global_step)
+            results = self.evaluate()
+            for k, v in results.items():
+                self.summary.add_scalar(f"val/{k}", v, self.global_step)
+            miou = results[self.eval_counts_key]
+            self.ckpt.save_latest(self.state, epoch)
+            improved = self.ckpt.save_best(self.state, miou)
+            print(
+                f"epoch {epoch}/{self.num_epochs}: steps={n_steps} "
+                f"miou={miou * 100:.2f}{' (best)' if improved else ''} "
+                f"wall={time.time() - t_epoch:.1f}s"
+            )
+        self.summary.close()
+        return self.state

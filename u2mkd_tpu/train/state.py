@@ -28,14 +28,23 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def create_train_state(model, tx, sample_batch, capacities, rng) -> TrainState:
-    pl = P.build_plumbing(
-        jnp.asarray(sample_batch["pcoords"]), jnp.asarray(sample_batch["xyz"]),
-        jnp.asarray(sample_batch["pmask"]), capacities,
-    )
-    variables = model.init(
-        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
-        jnp.asarray(sample_batch["feats"]), pl, True,
-    )
+    # everything under one jit: eager init would dispatch thousands of
+    # individual ops (catastrophic on remote-device backends)
+    @jax.jit
+    def init_fn(batch, rng):
+        pl = P.build_plumbing(
+            batch["pcoords"], batch["xyz"], batch["pmask"], capacities
+        )
+        return model.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+            batch["feats"], pl, True,
+        )
+
+    sample = {
+        k: jnp.asarray(sample_batch[k])
+        for k in ("pcoords", "xyz", "pmask", "feats")
+    }
+    variables = init_fn(sample, rng)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

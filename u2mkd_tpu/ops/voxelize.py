@@ -106,23 +106,20 @@ def point_to_voxel_mean(
     return segment_mean(pfeats, seg, capacity)
 
 
-_OFFSETS8 = None
+import numpy as _np
+
+# the 8 offsets of a size-2 kernel, (0,0,0) first (matches
+# ``get_kernel_offsets(2, s, 1)`` ordering required by ``nearest=True`` in
+# reference ``voxel_to_point``). Kept as numpy — caching a jnp array built
+# inside a trace would leak a tracer.
+_OFFSETS8_NP = _np.asarray(
+    [(dx, dy, dz) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+    _np.int32,
+)
 
 
 def kernel_offsets_2() -> jax.Array:
-    """The 8 offsets of a size-2 kernel, first = (0,0,0) (matches
-    ``get_kernel_offsets(2, s, 1)`` ordering requirement used by
-    ``nearest=True`` in reference ``voxel_to_point``)."""
-    global _OFFSETS8
-    if _OFFSETS8 is None:
-        offs = []
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    offs.append((dx, dy, dz))
-        # ensure (0,0,0) first (it already is)
-        _OFFSETS8 = jnp.asarray(offs, jnp.int32)
-    return _OFFSETS8
+    return jnp.asarray(_OFFSETS8_NP)
 
 
 def trilinear_weights(pcoords: jax.Array, stride: int) -> jax.Array:

@@ -1,0 +1,164 @@
+"""Dataset -> batched loader glue for the training CLIs.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(``train_spformer.py:63-75``): plain Python iteration with per-epoch
+shuffling and host-side collation into padded numpy batches. Device
+sharding happens in the jitted step (shard_map), so there is no per-rank
+sampler — the whole batch is built once and split across the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+
+
+def _maybe_inst_augmenter(cfg, dataset_kind: str):
+    d = cfg.dataset
+    if not d.get("inst_aug"):
+        return None
+    from u2mkd_tpu.data.instaug import InstAugmentation
+
+    if dataset_kind == "nusc":
+        from u2mkd_tpu.data.semantic_nusc import CLASS_NAMES_17
+
+        return InstAugmentation(
+            instance_pkl_path=d.inst_pkl_path,
+            thing_list=list(range(1, 11)), ground_list=[11, 12, 13],
+            pair_list=[[11]] * 6 + [[11, 12, 13], [11, 12, 13], [11], [11]],
+            add_num=d.inst_add_num, num_classes=cfg.data.num_classes,
+            class_name=["barrier", "bicycle", "bus", "car",
+                        "construction_vehicle", "motorcycle", "pedestrian",
+                        "traffic_cone", "trailer", "truck"],
+            class_weight=[0, 60272, 2561, 8091, 156414, 6908, 3036, 35011,
+                          13188, 14186, 41250],
+            class_min_num=[10, 10, 100, 100, 100, 10, 10, 10, 100, 100],
+            feat_dim=4, feat_dim_s=5,
+        )
+    else:  # kitti
+        from u2mkd_tpu.data.semantic_kitti import (
+            KITTI_CLASS_NAME, KITTI_GROUND_LIST, KITTI_PAIR_LIST,
+            KITTI_THING_LIST,
+        )
+
+        return InstAugmentation(
+            instance_pkl_path=d.inst_pkl_path, thing_list=KITTI_THING_LIST,
+            ground_list=KITTI_GROUND_LIST, pair_list=KITTI_PAIR_LIST,
+            add_num=d.inst_add_num, num_classes=cfg.data.num_classes,
+            class_name=KITTI_CLASS_NAME,
+            class_weight=[0, 115689, 2979, 2315, 2402, 5988, 4545, 916, 479],
+            class_min_num=[300, 50, 50, 300, 300, 25, 25, 25],
+            feat_dim=4, feat_dim_s=4,
+        )
+
+
+def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device):
+    order = np.arange(len(ds))
+    if shuffle:
+        rng.shuffle(order)
+    n_batches = len(order) // batch_size
+    for bi in range(n_batches):
+        idxs = order[bi * batch_size:(bi + 1) * batch_size]
+        yield to_device(collate_fn([ds[int(i)] for i in idxs]))
+
+
+def make_loaders(cfg, seed: int = 0):
+    """Uni-modal loaders (semantic_nusc / semantic_kitti)."""
+    import jax.numpy as jnp
+
+    name = cfg.dataset.name
+    d = cfg.dataset
+    cap = int(cfg.capacities[0])
+    if name == "semantic_nusc":
+        from u2mkd_tpu.data.semantic_nusc import SemanticNusc, collate
+
+        def build(split):
+            return SemanticNusc(
+                d.root, d.voxel_size, cap, d.get("version", "v1.0-trainval"),
+                split, num_sweeps=d.multisweeps.num_sweeps,
+                only_past=d.multisweeps.only_past, flip_aug=d.flip_aug,
+                rotate_aug=d.rotate_aug, translate_std=d.get("translate_std"),
+                inst_augmenter=_maybe_inst_augmenter(cfg, "nusc")
+                if split == "train" else None,
+                seed=seed,
+            )
+        collate_fn = collate
+    elif name == "semantic_kitti":
+        from u2mkd_tpu.data.semantic_kitti import SemanticKITTI
+        from u2mkd_tpu.data.semantic_nusc import collate
+
+        def build(split):
+            return SemanticKITTI(
+                d.root, d.voxel_size, cap, split,
+                num_sweeps=d.multisweeps.num_sweeps, flip_aug=d.flip_aug,
+                rotate_aug=d.rotate_aug, translate_std=d.get("translate_std"),
+                inst_augmenter=_maybe_inst_augmenter(cfg, "kitti")
+                if split == "train" else None,
+                seed=seed,
+            )
+        collate_fn = collate
+    else:
+        raise NotImplementedError(name)
+
+    train_ds, val_ds = build("train"), build("val")
+    rng = np.random.RandomState(seed)
+
+    def to_device(batch):
+        return {
+            k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+            for k, v in batch.items()
+        }
+
+    def train_loader():
+        return _epoch_iter(train_ds, cfg.batch_size, collate_fn, True, rng,
+                           to_device)
+
+    def val_loader():
+        return _epoch_iter(val_ds, cfg.batch_size, collate_fn, False, rng,
+                           to_device)
+
+    return train_loader, val_loader
+
+
+def make_distill_loaders(cfg, seed: int = 0):
+    """Paired student/teacher loaders (lc_semantic_nusc_tsd_full)."""
+    import jax
+
+    from u2mkd_tpu.data.lc_semantic_nusc import LCSemanticNuscTSD, collate_tsd
+
+    d = cfg.dataset
+    s_cap = int((cfg.get_path("student_capacities") or cfg.capacities)[0])
+    t_cap = int((cfg.get_path("teacher_capacities") or cfg.capacities)[0])
+
+    def build(split):
+        return LCSemanticNuscTSD(
+            d.root, d.voxel_size, s_cap, t_cap,
+            d.get("version", "v1.0-trainval"), split,
+            num_sweeps=d.multisweeps.num_sweeps,
+            only_past=d.multisweeps.only_past,
+            im_drop=d.im_drop, im_cr=d.im_cr,
+            inst_augmenter=_maybe_inst_augmenter(cfg, "nusc")
+            if split == "train" else None,
+            seed=seed,
+        )
+
+    train_ds, val_ds = build("train"), build("val")
+    rng = np.random.RandomState(seed)
+
+    def to_device(batch):
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, batch
+        )
+
+    def train_loader():
+        return _epoch_iter(train_ds, cfg.batch_size, collate_tsd, True, rng,
+                           to_device)
+
+    def val_loader():
+        return _epoch_iter(val_ds, cfg.batch_size, collate_tsd, False, rng,
+                           to_device)
+
+    return train_loader, val_loader

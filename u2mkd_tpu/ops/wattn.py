@@ -128,14 +128,29 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
 
     q_t: [Tq, h, d]; k_t/v_t: [Tk, h, d]; same_window: [Tq, Tk] bool.
     Returns [Tq, h, d].
+
+    Contextual RPE is computed in factored form: per axis, project the
+    Q/K/V vectors onto the whole table once ([T, h, L2] einsums), then
+    combine with a per-pair one-hot of the relative-position bin via MXU
+    matmuls. This keeps per-tile temporaries at O(T * W * max(h, L2))
+    instead of the naive O(T * W * 3 * h * d) table gathers — the TPU
+    answer to the reference's per-pair CUDA table lookups
+    (``dot_prod_with_idx_all`` / ``attention_step2_with_rel_pos_value``).
     """
     attn = jnp.einsum("qhd,khd->qkh", q_t, k_t)  # [Tq, Tk, h]
+    onehots = None
     if rpe is not None:
         idx = _rel_indices(rpe, qi_quant, kj_quant, qi_r, kj_r)  # [Tq, Tk, 3]
-        tq = rpe.table_q[idx, jnp.arange(3)[None, None, :]]  # [Tq, Tk, 3, h, d]
-        attn = attn + jnp.einsum("qhd,qkahd->qkh", q_t, tq)
-        tk = rpe.table_k[idx, jnp.arange(3)[None, None, :]]
-        attn = attn + jnp.einsum("khd,qkahd->qkh", k_t, tk)
+        l2 = rpe.table_q.shape[0]
+        onehots = []
+        for ax in range(3):
+            oh = jax.nn.one_hot(idx[..., ax], l2, dtype=q_t.dtype)  # [Tq,Tk,L2]
+            onehots.append(oh)
+            # qT[i, h, l] = q_i . table_q[l, ax]; contribution = qT at bin
+            q_tab = jnp.einsum("qhd,lhd->qhl", q_t, rpe.table_q[:, ax])
+            attn = attn + jnp.einsum("qkl,qhl->qkh", oh, q_tab)
+            k_tab = jnp.einsum("khd,lhd->khl", k_t, rpe.table_k[:, ax])
+            attn = attn + jnp.einsum("qkl,khl->qkh", oh, k_tab)
     attn = jnp.where(same_window[:, :, None], attn, -jnp.inf)
     attn = attn - jax.lax.stop_gradient(jnp.max(attn, axis=1, keepdims=True))
     attn = jnp.where(jnp.isfinite(attn), attn, -jnp.inf)
@@ -144,8 +159,10 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
     p = e / jnp.maximum(denom, 1e-20)  # [Tq, Tk, h]
     out = jnp.einsum("qkh,khd->qhd", p, v_t)
     if rpe is not None:
-        tv = rpe.table_v[idx, jnp.arange(3)[None, None, :]]  # [Tq, Tk, 3, h, d]
-        out = out + jnp.einsum("qkh,qkahd->qhd", p, tv)
+        for ax in range(3):
+            # s[i, l, h] = sum_j p[i,j,h] 1{bin(i,j)=l}; then project onto Tv
+            s = jnp.einsum("qkh,qkl->qlh", p, onehots[ax])
+            out = out + jnp.einsum("qlh,lhd->qhd", s, rpe.table_v[:, ax])
     return out
 
 

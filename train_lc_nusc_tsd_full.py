@@ -62,6 +62,23 @@ def main():
         jax.random.PRNGKey(cfg.train.seed % (2**31)),
     )
 
+    # ImageNet init for the SwiftNet backbone (reference swiftnet.py:338-343)
+    imagenet = cfg.get_path("model.imagenet_pretrain")
+    if imagenet:
+        from u2mkd_tpu.models.convert_weights import load_imagenet_pretrain
+
+        merged = load_imagenet_pretrain(
+            imagenet,
+            {"params": st.params["model_s"],
+             "batch_stats": st.batch_stats.get("model_s", {})},
+        )
+        params = dict(st.params)
+        params["model_s"] = merged["params"]
+        stats = dict(st.batch_stats)
+        stats["model_s"] = merged["batch_stats"]
+        st = st.replace(params=params, batch_stats=stats)
+        print(f"loaded ImageNet backbone from {imagenet}")
+
     # three restore modes (reference nusc_trainers.py:173-201)
     if args.weight_path:  # full resume
         import orbax.checkpoint as ocp

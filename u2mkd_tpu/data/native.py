@@ -1,0 +1,121 @@
+"""ctypes bindings for the native pointcore library, with numpy fallbacks.
+
+Mirrors the reference's graceful-degradation pattern
+(``third_party/csrc/wrapper.py:4-15``): if the shared library is absent or
+fails to load, every function falls back to the pure-numpy implementation in
+:mod:`u2mkd_tpu.data.transforms` / :mod:`u2mkd_tpu.data.geometry`.
+Build the library with ``make -C native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "native",
+        "libpointcore.so",
+    )
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+        lib.dedup_first.restype = ctypes.c_int64
+        lib.dedup_first.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.transform_points.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.remap_labels.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.box_occupancy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def dedup_first(voxel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """First-occurrence dedup; returns (inds, inverse) like
+    ``transforms.sparse_quantize_index``."""
+    lib = _load()
+    if lib is None:
+        from u2mkd_tpu.data.transforms import sparse_quantize_index
+
+        return sparse_quantize_index(voxel)
+    v = np.ascontiguousarray(voxel, np.int32)
+    n = len(v)
+    inds = np.empty(n, np.int32)
+    inverse = np.empty(n, np.int32)
+    n_unique = lib.dedup_first(
+        v.ctypes.data, n, inds.ctypes.data, inverse.ctypes.data
+    )
+    return inds[:n_unique].copy(), inverse
+
+
+def transform_points(tm: np.ndarray, xyz: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from u2mkd_tpu.data import geometry
+
+        return geometry.apply_transform(tm, xyz).astype(np.float32)
+    t = np.ascontiguousarray(tm, np.float64)
+    p = np.ascontiguousarray(xyz, np.float32)
+    out = np.empty_like(p)
+    lib.transform_points(t.ctypes.data, p.ctypes.data, len(p), out.ctypes.data)
+    return out
+
+
+def remap_labels_lut(raw: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        return lut[np.clip(raw.astype(np.int64), 0, len(lut) - 1)]
+    r = np.ascontiguousarray(raw, np.uint8)
+    l = np.ascontiguousarray(lut, np.int32)
+    out = np.empty(len(r), np.int32)
+    lib.remap_labels(r.ctypes.data, len(r), l.ctypes.data, len(l),
+                     out.ctypes.data)
+    return out
+
+
+def box_occupancy(xyz: np.ndarray, labels: np.ndarray, thing_mask: np.ndarray,
+                  mn: np.ndarray, mx: np.ndarray) -> Tuple[int, int]:
+    lib = _load()
+    if lib is None:
+        inside = np.all((xyz > mn) & (xyz < mx), axis=1)
+        occ = labels[inside]
+        n_thing = int(thing_mask[occ].sum())
+        return n_thing, int(len(occ) - n_thing)
+    x = np.ascontiguousarray(xyz, np.float32)
+    lb = np.ascontiguousarray(labels, np.int32)
+    tm = np.ascontiguousarray(thing_mask, np.uint8)
+    mn_ = np.ascontiguousarray(mn, np.float32)
+    mx_ = np.ascontiguousarray(mx, np.float32)
+    n_thing = ctypes.c_int64()
+    n_other = ctypes.c_int64()
+    lib.box_occupancy(
+        x.ctypes.data, lb.ctypes.data, tm.ctypes.data, len(x),
+        mn_.ctypes.data, mx_.ctypes.data,
+        ctypes.byref(n_thing), ctypes.byref(n_other),
+    )
+    return n_thing.value, n_other.value

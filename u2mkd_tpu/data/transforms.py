@@ -65,8 +65,13 @@ def sparse_quantize_index(voxel: np.ndarray):
     torchsparse ``sparse_quantize(return_index, return_inverse)`` semantics
     (``semantic_nusc.py:325-328``): ``inds`` = first occurrence (in scan
     order) of each unique voxel; ``inverse`` maps every point to its
-    representative's position in ``inds``.
+    representative's position in ``inds``. Uses the native pointcore hash
+    dedup when built (O(N) vs this numpy O(N log N) path).
     """
+    from u2mkd_tpu.data import native
+
+    if native.available():
+        return native.dedup_first(voxel)
     v = np.ascontiguousarray(voxel.astype(np.int64))
     key = (v[:, 0] << 42) | (v[:, 1] << 21) | v[:, 2]
     _, first_idx, inverse = np.unique(key, return_index=True, return_inverse=True)

@@ -32,10 +32,10 @@ def main():
 
     # realistic-ish single-sweep scale, sized to keep first-compile tolerable
     batch_size = 2
-    num_points = 4096 if quick else 32768
+    num_points = 4096 if quick else 16384
     caps = tuple(
         int(c) for c in (
-            (4096, 2048, 1024, 512, 256) if quick else (32768, 16384, 8192, 4096, 2048)
+            (4096, 2048, 1024, 512, 256) if quick else (16384, 8192, 4096, 2048, 1024)
         )
     )
     voxel_size = 0.1
@@ -81,4 +81,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit the one JSON line the driver expects
+        print(json.dumps({
+            "metric": "teacher_train_scans_per_sec",
+            "value": 0.0,
+            "unit": f"scans/sec (FAILED: {type(e).__name__}: {str(e)[:200]})",
+            "vs_baseline": 0.0,
+        }))
+        raise SystemExit(1)

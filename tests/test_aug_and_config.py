@@ -1,0 +1,141 @@
+"""PolarMix/LaserMix, instance-aug, config system, and determinism tests."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from u2mkd_tpu.data.instaug import InstAugmentation, ground_patches
+from u2mkd_tpu.data.mix import LaserMix, PolarMix
+from u2mkd_tpu.utils import config as config_lib
+
+
+def make_scan(rng, n=2000):
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, :3] = rng.randn(n, 3) * 15
+    pts[:, 2] = rng.randn(n) * 3 - 1  # span pitch angles below and above 0
+    pts[:, 3] = rng.rand(n)
+    labels = rng.randint(0, 5, n).astype(np.int32)
+    return pts, labels
+
+
+def test_polarmix(rng):
+    p1, l1 = make_scan(rng)
+    p2, l2 = make_scan(rng)
+    pm = PolarMix(instance_classes=[2, 3], rng=np.random.RandomState(0))
+    out_p, out_l = pm(p1, l1, p2, l2)
+    assert out_p.shape[1] == 4
+    assert len(out_p) == len(out_l)
+    # rotate-paste adds instance points: output has at least the instance
+    # points from scan 2 plus 2 rotated copies
+    n_inst2 = np.isin(l2, [2, 3]).sum()
+    assert len(out_p) >= len(p1) - n_inst2 + 3 * n_inst2 - len(p2)
+
+
+def test_lasermix(rng):
+    p1, l1 = make_scan(rng)
+    p2, l2 = make_scan(rng)
+    lm = LaserMix(num_areas=[3, 4], pitch_angles=(-30, 10),
+                  rng=np.random.RandomState(1))
+    out_p, out_l, src1 = lm(p1, l1, p2, l2)
+    assert len(out_p) == len(out_l) == len(src1)
+    assert src1.any() and (~src1).any()  # both scans contribute
+
+
+def test_lasermix_prob_zero(rng):
+    p1, l1 = make_scan(rng)
+    p2, l2 = make_scan(rng)
+    lm = LaserMix(num_areas=[3], pitch_angles=(-30, 10), prob=0.0)
+    out_p, out_l, src = lm(p1, l1, p2, l2)
+    np.testing.assert_array_equal(out_p, p1)
+
+
+def test_ground_patches(rng):
+    xyz = np.zeros((5000, 3), np.float32)
+    xyz[:, :2] = rng.rand(5000, 2) * 20 - 10
+    labels = np.full(5000, 1, np.int32)
+    patches = ground_patches(xyz, labels, [1], grid_size=(5.0, 5.0), min_pts=20)
+    assert 1 in patches
+    assert len(patches[1]) > 0
+    # patch centers lie inside the data extent
+    assert np.abs(patches[1][:, :2]).max() < 12
+
+
+def test_inst_augmentation(tmp_path, rng):
+    # build a tiny database: 2 classes, a few instances
+    db_dir = str(tmp_path)
+    db = {"car": [], "pedestrian": []}
+    for ci, name in enumerate(db.keys()):
+        os.makedirs(os.path.join(db_dir, name), exist_ok=True)
+        for i in range(3):
+            inst = np.zeros((50, 4), np.float32)
+            inst[:, :3] = rng.randn(50, 3) * 0.5 + [5 + i, 0, 0]
+            inst[:, 2] = np.abs(inst[:, 2])
+            inst[:, 3] = rng.rand(50)
+            p = os.path.join(db_dir, name, f"i{i}.bin")
+            inst.tofile(p)
+            db[name].append(os.path.join(name, f"i{i}.bin"))
+    pkl = os.path.join(db_dir, "db.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(db, f)
+
+    # scene: dense ground plane class 3
+    xyz = np.zeros((8000, 3), np.float32)
+    xyz[:, :2] = rng.rand(8000, 2) * 40 - 20
+    labels = np.full(8000, 3, np.int32)
+    feats = rng.rand(8000, 1).astype(np.float32)
+
+    aug = InstAugmentation(
+        instance_pkl_path=pkl, thing_list=[1, 2], ground_list=[3],
+        pair_list=[[3], [3]], add_num=4, num_classes=5,
+        class_name=["car", "pedestrian"], feat_dim_src=4,
+        rng=np.random.RandomState(2),
+    )
+    out_xyz, out_labels, out_feats = aug.inst_aug(xyz, labels, feats)
+    added = len(out_xyz) - len(xyz)
+    assert added > 0 and added % 50 == 0
+    assert set(np.unique(out_labels[len(xyz):])) <= {1, 2}
+    assert len(out_feats) == len(out_xyz)
+
+
+def test_config_recursive_and_overrides(tmp_path):
+    os.makedirs(os.path.join(tmp_path, "a", "b"), exist_ok=True)
+    with open(os.path.join(tmp_path, "default.yaml"), "w") as f:
+        f.write("x: 1\nnested:\n  p: 1\n  q: 2\n")
+    with open(os.path.join(tmp_path, "a", "default.yaml"), "w") as f:
+        f.write("nested:\n  q: 3\n")
+    with open(os.path.join(tmp_path, "a", "b", "leaf.yaml"), "w") as f:
+        f.write("y: 10\nnested:\n  r: 4\n")
+    cfg = config_lib.load(os.path.join(tmp_path, "a", "b", "leaf.yaml"))
+    assert cfg.x == 1 and cfg.y == 10
+    assert cfg.nested.p == 1 and cfg.nested.q == 3 and cfg.nested.r == 4
+    config_lib.update_dotted(cfg, ["nested.q=99", "new.key=[1,2]"])
+    assert cfg.nested.q == 99
+    assert cfg.new.key == [1, 2]
+    assert cfg.get_path("nested.missing", "dflt") == "dflt"
+
+
+def test_train_step_determinism(rng):
+    """Same seed => identical loss (SURVEY §5.2: the reference only gestures
+    at determinism; we assert it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2mkd_tpu.data import synthetic
+    from u2mkd_tpu.models.spvcnn import SPVCNN
+    from u2mkd_tpu.train import optim, state as train_state
+
+    caps = (128, 64, 32, 16, 8)
+    raw = synthetic.make_batch(np.random.RandomState(3), 1, 120, voxel_size=0.5)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    model = SPVCNN(num_classes=5, cr=0.25)
+    tx = optim.make_optimizer("sgd", 0.01)
+    losses = []
+    for _ in range(2):
+        st = train_state.create_train_state(model, tx, batch, caps,
+                                            jax.random.PRNGKey(7))
+        step = jax.jit(train_state.make_train_step(model, tx, caps))
+        st, out = step(st, batch, jax.random.PRNGKey(11))
+        losses.append(float(out["loss"]))
+    assert losses[0] == losses[1]

@@ -101,8 +101,10 @@ class BatchNorm2d(nn.Module):
 
 
 def conv(out_ch, k, stride=1, name=None):
+    from u2mkd_tpu.ops.precision import compute_dtype
+
     return nn.Conv(out_ch, (k, k), strides=(stride, stride), padding=k // 2,
-                   use_bias=False, name=name,
+                   use_bias=False, name=name, dtype=compute_dtype(),
                    kernel_init=nn.initializers.variance_scaling(
                        2.0, "fan_out", "truncated_normal"))
 

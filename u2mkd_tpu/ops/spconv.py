@@ -84,15 +84,18 @@ def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array) -> jax.Arra
     buffer while every step is an MXU matmul.
     """
 
+    from u2mkd_tpu.ops.precision import cast_compute
+
     def body(acc, inputs):
         nbr_k, w_k = inputs
         g = gather_rows(feats, nbr_k)  # [Vout, Cin]
+        g, w_k = cast_compute(g, w_k)
         return acc + jnp.dot(g, w_k, preferred_element_type=acc.dtype), None
 
     vout = nbr.shape[1]
-    acc0 = jnp.zeros((vout, weight.shape[-1]), feats.dtype)
+    acc0 = jnp.zeros((vout, weight.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (nbr, weight))
-    return acc
+    return acc.astype(feats.dtype)
 
 
 def sparse_conv_transposed_2x2(
@@ -106,10 +109,14 @@ def sparse_conv_transposed_2x2(
     Each fine voxel receives exactly one term: W[koff] applied to its parent's
     features (the transpose of the downsample kernel map).
     """
+    from u2mkd_tpu.ops.precision import cast_compute, compute_dtype
+
     g = gather_rows(feats, up_parent)  # [Vfine, Cin]
-    onehot = jax.nn.one_hot(up_koff, weight.shape[0], dtype=feats.dtype)  # [Vf, 8]
+    onehot = jax.nn.one_hot(up_koff, weight.shape[0], dtype=compute_dtype())
+    g, w = cast_compute(g, weight)
     # y[v] = sum_k onehot[v,k] * (g[v] @ W[k]) — XLA contracts as 8 matmuls
-    return jnp.einsum("vc,vk,kcd->vd", g, onehot, weight)
+    return jnp.einsum("vc,vk,kcd->vd", g, onehot, w,
+                      preferred_element_type=jnp.float32).astype(feats.dtype)
 
 
 def downsample_grid(grid: VoxelGrid, capacity: int) -> Tuple[VoxelGrid, jax.Array, jax.Array]:

@@ -137,33 +137,46 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
     answer to the reference's per-pair CUDA table lookups
     (``dot_prod_with_idx_all`` / ``attention_step2_with_rel_pos_value``).
     """
-    attn = jnp.einsum("qhd,khd->qkh", q_t, k_t)  # [Tq, Tk, h]
+    from u2mkd_tpu.ops.precision import cast_compute, compute_dtype
+
+    qc, kc, vc = cast_compute(q_t, k_t, v_t)
+    attn = jnp.einsum("qhd,khd->qkh", qc, kc,
+                      preferred_element_type=jnp.float32)  # [Tq, Tk, h]
     onehots = None
     if rpe is not None:
         idx = _rel_indices(rpe, qi_quant, kj_quant, qi_r, kj_r)  # [Tq, Tk, 3]
         l2 = rpe.table_q.shape[0]
         onehots = []
         for ax in range(3):
-            oh = jax.nn.one_hot(idx[..., ax], l2, dtype=q_t.dtype)  # [Tq,Tk,L2]
+            oh = jax.nn.one_hot(idx[..., ax], l2, dtype=compute_dtype())
             onehots.append(oh)
             # qT[i, h, l] = q_i . table_q[l, ax]; contribution = qT at bin
-            q_tab = jnp.einsum("qhd,lhd->qhl", q_t, rpe.table_q[:, ax])
-            attn = attn + jnp.einsum("qkl,qhl->qkh", oh, q_tab)
-            k_tab = jnp.einsum("khd,lhd->khl", k_t, rpe.table_k[:, ax])
-            attn = attn + jnp.einsum("qkl,khl->qkh", oh, k_tab)
+            q_tab = jnp.einsum("qhd,lhd->qhl", qc,
+                               cast_compute(rpe.table_q[:, ax]))
+            attn = attn + jnp.einsum("qkl,qhl->qkh", oh, q_tab,
+                                     preferred_element_type=jnp.float32)
+            k_tab = jnp.einsum("khd,lhd->khl", kc,
+                               cast_compute(rpe.table_k[:, ax]))
+            attn = attn + jnp.einsum("qkl,khl->qkh", oh, k_tab,
+                                     preferred_element_type=jnp.float32)
     attn = jnp.where(same_window[:, :, None], attn, -jnp.inf)
     attn = attn - jax.lax.stop_gradient(jnp.max(attn, axis=1, keepdims=True))
     attn = jnp.where(jnp.isfinite(attn), attn, -jnp.inf)
-    e = jnp.exp(attn)
+    e = jnp.exp(attn)  # f32 softmax
     denom = jnp.sum(e, axis=1, keepdims=True)
     p = e / jnp.maximum(denom, 1e-20)  # [Tq, Tk, h]
-    out = jnp.einsum("qkh,khd->qhd", p, v_t)
+    pc = cast_compute(p)
+    out = jnp.einsum("qkh,khd->qhd", pc, vc,
+                     preferred_element_type=jnp.float32)
     if rpe is not None:
         for ax in range(3):
             # s[i, l, h] = sum_j p[i,j,h] 1{bin(i,j)=l}; then project onto Tv
-            s = jnp.einsum("qkh,qkl->qlh", p, onehots[ax])
-            out = out + jnp.einsum("qlh,lhd->qhd", s, rpe.table_v[:, ax])
-    return out
+            s = jnp.einsum("qkh,qkl->qlh", pc, onehots[ax],
+                           preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("qlh,lhd->qhd", cast_compute(s),
+                                   cast_compute(rpe.table_v[:, ax]),
+                                   preferred_element_type=jnp.float32)
+    return out.astype(q_t.dtype)
 
 
 def sparse_window_attention(

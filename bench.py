@@ -29,6 +29,10 @@ def main():
 
     quick = "--quick" in sys.argv
     platform = jax.devices()[0].platform
+    if platform != "cpu" and "--f32" not in sys.argv:
+        from u2mkd_tpu.ops.precision import set_compute_dtype
+
+        set_compute_dtype("bfloat16")
 
     # realistic-ish single-sweep scale, sized to keep first-compile tolerable
     batch_size = 2

@@ -29,6 +29,11 @@ def window_geometry(cfg: Config):
 
 
 def make_model(cfg: Config, axis_name: Optional[str] = None):
+    prec = cfg.get_path("precision", "float32")
+    if prec != "float32":
+        from u2mkd_tpu.ops.precision import set_compute_dtype
+
+        set_compute_dtype(prec)
     name = cfg.model.name
     ws, wss, qs, qss = window_geometry(cfg)
     common = dict(

@@ -36,12 +36,12 @@ def main():
 
     # realistic-ish single-sweep scale, sized to keep first-compile tolerable
     batch_size = 2
-    num_points = 4096 if quick else 16384
-    caps = tuple(
-        int(c) for c in (
-            (4096, 2048, 1024, 512, 256) if quick else (16384, 8192, 4096, 2048, 1024)
-        )
-    )
+    num_points = 4096 if quick else 8192
+    for a in sys.argv:
+        if a.startswith("--points="):
+            num_points = int(a.split("=")[1])
+    caps = (num_points, num_points // 2, num_points // 4, num_points // 8,
+            num_points // 16)
     voxel_size = 0.1
 
     model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size)

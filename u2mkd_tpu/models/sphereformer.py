@@ -41,7 +41,8 @@ class SphereAttention(nn.Module):
     quant_size_sphere: Tuple[float, float, float]
     a: float = 0.0125
     qkv_bias: bool = True
-    band_cubic: int = 2
+    band_cubic: int = 1  # cubic windows hold <= (patch*window)^3 = 27 cells,
+    # always within one tile of the sorted order -> band 1 is exact
     band_sphere: int = 4
     tile: int = 128
 
@@ -125,7 +126,8 @@ class SphereFormerBlock(nn.Module):
     mlp_ratio: float = 4.0
     a: float = 0.0125
     axis_name: Optional[str] = None
-    band_cubic: int = 2
+    band_cubic: int = 1  # cubic windows hold <= (patch*window)^3 = 27 cells,
+    # always within one tile of the sorted order -> band 1 is exact
     band_sphere: int = 4
     tile: int = 128
 

@@ -48,6 +48,22 @@ def main():
     rng = np.random.RandomState(0)
     raw = synthetic.make_batch(rng, batch_size, num_points, voxel_size=voxel_size)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    host_plumbing = "--no-host-plumbing" not in sys.argv
+    if host_plumbing:
+        import time as _t
+
+        from u2mkd_tpu.data import plumbing_host
+
+        t0 = _t.time()
+        pl = plumbing_host.batch_plumbing(
+            raw["pcoords"], raw["xyz"], raw["pmask"], caps
+        )
+        host_ms = (_t.time() - t0) * 1e3
+        batch["plumbing"] = {
+            k: [jnp.asarray(a) for a in v] for k, v in pl.items()
+        }
+    else:
+        host_ms = 0.0
 
     tx = optim.make_optimizer("sgd_spformer", 0.02)
     st = train_state.create_train_state(model, tx, batch, caps, jax.random.PRNGKey(0))
@@ -79,7 +95,8 @@ def main():
         "metric": "teacher_train_scans_per_sec",
         "value": round(scans_per_sec, 3),
         "unit": f"scans/sec ({platform}, P={num_points}, B={batch_size}, "
-                f"compile={compile_s:.0f}s, loss={float(out['loss']):.3f})",
+                f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms, "
+                f"loss={float(out['loss']):.3f})",
         "vs_baseline": round(vs, 3),
     }))
 

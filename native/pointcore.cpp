@@ -121,3 +121,274 @@ void box_occupancy(const float* xyz, const int32_t* labels,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side U-Net plumbing builder.
+//
+// On-device rulebook construction (vectorized binary searches) is
+// latency-bound on TPU (~70ms for one 27-offset rulebook at V=4k vs ~3ms of
+// actual conv compute). This builds everything on the host in O(N): level
+// tables, conv rulebooks, transposed-conv maps, point->voxel rows and
+// trilinear devoxelize queries — the arrays the jitted step then consumes
+// directly. Python glue: u2mkd_tpu/data/plumbing_host.py.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <unordered_map>
+
+namespace {
+
+struct CoordMap {
+  std::unordered_map<uint64_t, int32_t> m;
+  int32_t lookup(const int32_t* c) const {
+    auto it = m.find(pack_coord(c));
+    return it == m.end() ? -1 : it->second;
+  }
+  int32_t lookup3(int32_t x, int32_t y, int32_t z) const {
+    int32_t c[3] = {x, y, z};
+    return lookup(c);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build all levels. Arguments:
+//  pcoords [P,3] float (voxel units, stride-1 scale), pmask [P] uint8.
+//  n_levels level capacities caps[L].
+// Per-level output buffers (caller-allocated, sized by caps[L]):
+//  coords[L]: int32 [capL*3]; vmask[L]: uint8 [capL]; nums[L]: int32[1]
+//  nbr27[L]: int32 [27*capL]  (kernel offsets in z-fastest order with
+//            (0,0,0) first — must match spconv.kernel_offsets(3))
+//  down8[L]: int32 [8*capL]   (L>=1; offsets match kernel_offsets(2))
+//  parent[L], koff[L]: int32 [capL] (L<n_levels-1)
+//  voxxyz[L]: float [capL*3] (mean metric xyz per voxel, from level0 means)
+//  p2v[L]: int32 [P]; dvi[L]: int32 [P*8]; dvw[L]: float [P*8]
+// pxyz [P,3] float: metric xyz per point (for voxxyz means).
+void build_plumbing_host(
+    const float* pcoords, const float* pxyz, const uint8_t* pmask, int64_t P,
+    const int64_t* caps, int n_levels,
+    int32_t** coords, uint8_t** vmask, int32_t** nums,
+    int32_t** nbr27, int32_t** down8, int32_t** parent, int32_t** koff,
+    float** voxxyz, int32_t** p2v, int32_t** dvi, float** dvw) {
+  // kernel offsets matching the JAX side: sorted with (0,0,0) first, then
+  // z-fastest enumeration order preserved by the stable sort in
+  // spconv.kernel_offsets
+  static int off3[27][3];
+  static int off2[8][3];
+  {
+    int n = 0;
+    int rng[3] = {-1, 0, 1};
+    int tmp[27][3];
+    for (int dz : rng)
+      for (int dy : rng)
+        for (int dx : rng) {
+          tmp[n][0] = dx; tmp[n][1] = dy; tmp[n][2] = dz; ++n;
+        }
+    // stable partition: (0,0,0) first
+    int w = 0;
+    for (int i = 0; i < 27; ++i)
+      if (tmp[i][0] == 0 && tmp[i][1] == 0 && tmp[i][2] == 0) {
+        off3[w][0] = 0; off3[w][1] = 0; off3[w][2] = 0; ++w;
+      }
+    for (int i = 0; i < 27; ++i)
+      if (!(tmp[i][0] == 0 && tmp[i][1] == 0 && tmp[i][2] == 0)) {
+        off3[w][0] = tmp[i][0]; off3[w][1] = tmp[i][1]; off3[w][2] = tmp[i][2];
+        ++w;
+      }
+    n = 0;
+    int rng2[2] = {0, 1};
+    for (int dz : rng2)
+      for (int dy : rng2)
+        for (int dx : rng2) {
+          off2[n][0] = dx; off2[n][1] = dy; off2[n][2] = dz; ++n;
+        }
+  }
+
+  std::vector<CoordMap> maps(n_levels);
+  std::vector<int64_t> nuniq(n_levels, 0);
+  std::vector<std::vector<int64_t>> v0_rows(n_levels);  // voxel -> any l0 row? need mean
+  // accumulate mean xyz per voxel (level 0 first, coarser from level0 rows)
+  std::vector<std::vector<double>> xyz_sum(n_levels);
+  std::vector<std::vector<int64_t>> xyz_cnt(n_levels);
+
+  // ---- level 0: floor(pcoords) dedup, mean xyz, p2v ----
+  const int64_t cap0 = caps[0];
+  for (int L = 0; L < n_levels; ++L) {
+    xyz_sum[L].assign((size_t)caps[L] * 3, 0.0);
+    xyz_cnt[L].assign((size_t)caps[L], 0);
+    std::memset(coords[L], 0, sizeof(int32_t) * (size_t)caps[L] * 3);
+    std::memset(vmask[L], 0, (size_t)caps[L]);
+  }
+  for (int64_t i = 0; i < P; ++i) {
+    p2v[0][i] = -1;
+    if (!pmask[i]) continue;
+    int32_t c[3] = {(int32_t)std::floor(pcoords[3 * i]),
+                    (int32_t)std::floor(pcoords[3 * i + 1]),
+                    (int32_t)std::floor(pcoords[3 * i + 2])};
+    uint64_t key = pack_coord(c);
+    auto it = maps[0].m.find(key);
+    int32_t row;
+    if (it == maps[0].m.end()) {
+      if (nuniq[0] >= cap0) continue;  // overflow -> drop
+      row = (int32_t)nuniq[0]++;
+      maps[0].m.emplace(key, row);
+      coords[0][3 * row] = c[0];
+      coords[0][3 * row + 1] = c[1];
+      coords[0][3 * row + 2] = c[2];
+      vmask[0][row] = 1;
+    } else {
+      row = it->second;
+    }
+    p2v[0][i] = row;
+    xyz_sum[0][3 * row] += pxyz[3 * i];
+    xyz_sum[0][3 * row + 1] += pxyz[3 * i + 1];
+    xyz_sum[0][3 * row + 2] += pxyz[3 * i + 2];
+    xyz_cnt[0][row] += 1;
+  }
+  nums[0][0] = (int32_t)nuniq[0];
+
+  // ---- coarser levels: dedup of floor(c/2s)*2s over finer level ----
+  for (int L = 1; L < n_levels; ++L) {
+    const int s2 = 1 << L;  // stride of level L in finest units
+    for (int64_t v = 0; v < nuniq[L - 1]; ++v) {
+      const int32_t* fc = &coords[L - 1][3 * v];
+      int32_t pc[3];
+      for (int a = 0; a < 3; ++a) {
+        int32_t q = fc[a] >= 0 ? fc[a] / s2 : -((-fc[a] + s2 - 1) / s2);
+        pc[a] = q * s2;
+      }
+      uint64_t key = pack_coord(pc);
+      auto it = maps[L].m.find(key);
+      int32_t row;
+      if (it == maps[L].m.end()) {
+        if (nuniq[L] >= caps[L]) { parent[L - 1][v] = -1; koff[L - 1][v] = 0; continue; }
+        row = (int32_t)nuniq[L]++;
+        maps[L].m.emplace(key, row);
+        coords[L][3 * row] = pc[0];
+        coords[L][3 * row + 1] = pc[1];
+        coords[L][3 * row + 2] = pc[2];
+        vmask[L][row] = 1;
+      } else {
+        row = it->second;
+      }
+      parent[L - 1][v] = row;
+      // koff: index of delta within off2 ordering (stride of finer level)
+      const int sf = 1 << (L - 1);
+      int dx = (fc[0] - pc[0]) / sf, dy = (fc[1] - pc[1]) / sf,
+          dz = (fc[2] - pc[2]) / sf;
+      int kk = 0;
+      for (int k = 0; k < 8; ++k)
+        if (off2[k][0] == dx && off2[k][1] == dy && off2[k][2] == dz) kk = k;
+      koff[L - 1][v] = kk;
+      // accumulate coarse xyz mean from fine means (flat mean over level-0
+      // voxels: weight by fine count)
+      // (we instead accumulate level0 rows below for exact flat means)
+    }
+    // pad rest of parent/koff
+    for (int64_t v = nuniq[L - 1]; v < caps[L - 1]; ++v) {
+      parent[L - 1][v] = -1;
+      koff[L - 1][v] = 0;
+    }
+    nums[L][0] = (int32_t)nuniq[L];
+  }
+
+  // ---- flat mean metric xyz per level from level-0 voxels ----
+  for (int64_t v0 = 0; v0 < nuniq[0]; ++v0) {
+    double mx = xyz_sum[0][3 * v0] / std::max<int64_t>(xyz_cnt[0][v0], 1);
+    double my = xyz_sum[0][3 * v0 + 1] / std::max<int64_t>(xyz_cnt[0][v0], 1);
+    double mz = xyz_sum[0][3 * v0 + 2] / std::max<int64_t>(xyz_cnt[0][v0], 1);
+    voxxyz[0][3 * v0] = (float)mx;
+    voxxyz[0][3 * v0 + 1] = (float)my;
+    voxxyz[0][3 * v0 + 2] = (float)mz;
+    const int32_t* c0 = &coords[0][3 * v0];
+    for (int L = 1; L < n_levels; ++L) {
+      const int s2 = 1 << L;
+      int32_t pc[3];
+      for (int a = 0; a < 3; ++a) {
+        int32_t q = c0[a] >= 0 ? c0[a] / s2 : -((-c0[a] + s2 - 1) / s2);
+        pc[a] = q * s2;
+      }
+      int32_t row = maps[L].lookup(pc);
+      if (row < 0) continue;
+      xyz_sum[L][3 * row] += mx;
+      xyz_sum[L][3 * row + 1] += my;
+      xyz_sum[L][3 * row + 2] += mz;
+      xyz_cnt[L][row] += 1;
+    }
+  }
+  for (int L = 1; L < n_levels; ++L) {
+    for (int64_t v = 0; v < caps[L]; ++v) {
+      int64_t c = std::max<int64_t>(xyz_cnt[L][v], 1);
+      voxxyz[L][3 * v] = (float)(xyz_sum[L][3 * v] / c);
+      voxxyz[L][3 * v + 1] = (float)(xyz_sum[L][3 * v + 1] / c);
+      voxxyz[L][3 * v + 2] = (float)(xyz_sum[L][3 * v + 2] / c);
+    }
+  }
+
+  // ---- conv rulebooks ----
+  for (int L = 0; L < n_levels; ++L) {
+    const int s = 1 << L;
+    for (int64_t v = 0; v < caps[L]; ++v) {
+      const bool ok = v < nuniq[L];
+      const int32_t* c = &coords[L][3 * v];
+      for (int k = 0; k < 27; ++k) {
+        nbr27[L][(size_t)k * caps[L] + v] =
+            ok ? maps[L].lookup3(c[0] + off3[k][0] * s, c[1] + off3[k][1] * s,
+                                 c[2] + off3[k][2] * s)
+               : -1;
+      }
+      if (L >= 1) {
+        const int sf = 1 << (L - 1);
+        for (int k = 0; k < 8; ++k) {
+          down8[L][(size_t)k * caps[L] + v] =
+              ok ? maps[L - 1].lookup3(c[0] + off2[k][0] * sf,
+                                       c[1] + off2[k][1] * sf,
+                                       c[2] + off2[k][2] * sf)
+                 : -1;
+        }
+      }
+    }
+  }
+
+  // ---- point queries per level: p2v + trilinear devox ----
+  for (int L = 0; L < n_levels; ++L) {
+    const int s = 1 << L;
+    for (int64_t i = 0; i < P; ++i) {
+      if (!pmask[i]) {
+        if (L > 0) p2v[L][i] = -1;
+        for (int k = 0; k < 8; ++k) {
+          dvi[L][8 * i + k] = -1;
+          dvw[L][8 * i + k] = 0.f;
+        }
+        continue;
+      }
+      const float px = pcoords[3 * i], py = pcoords[3 * i + 1],
+                  pz = pcoords[3 * i + 2];
+      int32_t base[3] = {(int32_t)std::floor(px / s) * s,
+                         (int32_t)std::floor(py / s) * s,
+                         (int32_t)std::floor(pz / s) * s};
+      if (L > 0) p2v[L][i] = maps[L].lookup(base);
+      float fx = px / s - std::floor(px / s);
+      float fy = py / s - std::floor(py / s);
+      float fz = pz / s - std::floor(pz / s);
+      float wsum = 0.f;
+      for (int k = 0; k < 8; ++k) {
+        int32_t q[3] = {base[0] + off2[k][0] * s, base[1] + off2[k][1] * s,
+                        base[2] + off2[k][2] * s};
+        int32_t row = maps[L].lookup(q);
+        float w = (off2[k][0] ? fx : 1 - fx) * (off2[k][1] ? fy : 1 - fy) *
+                  (off2[k][2] ? fz : 1 - fz);
+        dvi[L][8 * i + k] = row;
+        float wv = row >= 0 ? w : 0.f;
+        dvw[L][8 * i + k] = wv;
+        wsum += wv;
+      }
+      const float inv = 1.f / (wsum + 1e-8f);
+      for (int k = 0; k < 8; ++k) dvw[L][8 * i + k] *= inv;
+    }
+  }
+}
+
+}  // extern "C"

@@ -91,6 +91,49 @@ def build_plumbing(pcoords: jax.Array, metric_xyz: jax.Array, pmask: jax.Array,
     )
 
 
+def from_precomputed(arrays, pmask: jax.Array) -> UNetPlumbing:
+    """Assemble a UNetPlumbing from host-precomputed batched arrays
+    (see ``data/plumbing_host.py``): each entry of ``arrays`` is a list over
+    levels of [B, ...] arrays. Voxel key tables are not materialized (every
+    lookup was resolved on the host); grids carry coords/mask only.
+    """
+    n_levels = len(arrays["coords"])
+    levels = []
+    p2v, dvi, dvw, vox_xyz, v0_to_v = [], [], [], [], []
+    for li in range(n_levels):
+        vm = arrays["vmask"][li].astype(bool)
+        cap = vm.shape[-1]
+        grid = VoxelGrid(
+            coords=arrays["coords"][li],
+            mask=vm,
+            key_hi=jnp.zeros(vm.shape, jnp.uint32),
+            key_lo=jnp.zeros(vm.shape, jnp.uint32),
+            num=arrays["nums"][li][..., 0],
+            stride=1 << li,
+        )
+        levels.append(
+            LevelContext(
+                grid=grid,
+                nbr27=arrays["nbr27"][li],
+                down_nbr8=arrays["down8"][li] if li >= 1 else None,
+                up_parent=arrays["parent"][li] if li < n_levels - 1 else None,
+                up_koff=arrays["koff"][li] if li < n_levels - 1 else None,
+            )
+        )
+        p2v.append(arrays["p2v"][li])
+        dvi.append(arrays["dvi"][li])
+        dvw.append(arrays["dvw"][li])
+        vox_xyz.append(arrays["voxxyz"][li])
+        v0_to_v.append(None)  # not needed: vox_xyz precomputed
+    cap0 = arrays["vmask"][0].shape[-1]
+    p2v0 = jnp.where(p2v[0] >= 0, p2v[0], cap0)
+    return UNetPlumbing(
+        levels=tuple(levels), p2v=tuple(p2v), devox_idx=tuple(dvi),
+        devox_w=tuple(dvw), v0_to_v=tuple(v0_to_v), vox_xyz=tuple(vox_xyz),
+        pmask=pmask, p2v0_feats_seg=p2v0,
+    )
+
+
 def point_to_voxel(pfeats: jax.Array, p2v: jax.Array, capacity: int) -> jax.Array:
     """Batched scatter-mean of point features onto voxel rows."""
     return jax.vmap(lambda f, m: voxelize.point_to_voxel_mean(f, m, capacity))(

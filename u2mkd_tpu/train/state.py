@@ -54,6 +54,17 @@ def create_train_state(model, tx, sample_batch, capacities, rng) -> TrainState:
     )
 
 
+def get_plumbing(batch: Dict, capacities) -> "P.UNetPlumbing":
+    """In-jit plumbing build, or assembly from host-precomputed arrays when
+    the batch carries them (see ``data/plumbing_host.py`` — moves ~70% of
+    the step's device time to overlapped host work)."""
+    if "plumbing" in batch:
+        return P.from_precomputed(batch["plumbing"], batch["pmask"])
+    return P.build_plumbing(
+        batch["pcoords"], batch["xyz"], batch["pmask"], capacities
+    )
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -65,9 +76,7 @@ def make_train_step(
     (reference ``spformer_trainer.py:78-94``)."""
 
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
-        pl = P.build_plumbing(
-            batch["pcoords"], batch["xyz"], batch["pmask"], capacities
-        )
+        pl = get_plumbing(batch, capacities)
         valid = (
             batch["pmask"]
             & batch["keyframe_mask"]
@@ -117,9 +126,7 @@ def make_eval_step(
     ``spformer_trainer.py:96-115``)."""
 
     def eval_fn(state: TrainState, batch: Dict) -> Dict:
-        pl = P.build_plumbing(
-            batch["pcoords"], batch["xyz"], batch["pmask"], capacities
-        )
+        pl = get_plumbing(batch, capacities)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["feats"], pl, False,

@@ -53,14 +53,22 @@ def _maybe_inst_augmenter(cfg, dataset_kind: str):
         )
 
 
-def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device):
+def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
+                plumbing_caps=None):
     order = np.arange(len(ds))
     if shuffle:
         rng.shuffle(order)
     n_batches = len(order) // batch_size
     for bi in range(n_batches):
         idxs = order[bi * batch_size:(bi + 1) * batch_size]
-        yield to_device(collate_fn([ds[int(i)] for i in idxs]))
+        batch = collate_fn([ds[int(i)] for i in idxs])
+        if plumbing_caps is not None:
+            from u2mkd_tpu.data import plumbing_host
+
+            batch["plumbing"] = plumbing_host.batch_plumbing(
+                batch["pcoords"], batch["xyz"], batch["pmask"], plumbing_caps
+            )
+        yield to_device(batch)
 
 
 def make_loaders(cfg, seed: int = 0):
@@ -103,20 +111,22 @@ def make_loaders(cfg, seed: int = 0):
 
     train_ds, val_ds = build("train"), build("val")
     rng = np.random.RandomState(seed)
+    pcaps = tuple(cfg.capacities) if cfg.get_path("host_plumbing", True) else None
 
     def to_device(batch):
-        return {
-            k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
-            for k, v in batch.items()
-        }
+        import jax
+
+        return jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, batch
+        )
 
     def train_loader():
         return _epoch_iter(train_ds, cfg.batch_size, collate_fn, True, rng,
-                           to_device)
+                           to_device, pcaps)
 
     def val_loader():
         return _epoch_iter(val_ds, cfg.batch_size, collate_fn, False, rng,
-                           to_device)
+                           to_device, pcaps)
 
     return train_loader, val_loader
 
@@ -145,6 +155,20 @@ def make_distill_loaders(cfg, seed: int = 0):
 
     train_ds, val_ds = build("train"), build("val")
     rng = np.random.RandomState(seed)
+    s_caps = tuple(cfg.get_path("student_capacities") or cfg.capacities)
+    t_caps = tuple(cfg.get_path("teacher_capacities") or cfg.capacities)
+    use_host = cfg.get_path("host_plumbing", True)
+
+    def add_plumbing(batch):
+        if use_host:
+            from u2mkd_tpu.data import plumbing_host
+
+            for key, caps in (("student", s_caps), ("teacher", t_caps)):
+                sub = batch[key]
+                sub["plumbing"] = plumbing_host.batch_plumbing(
+                    sub["pcoords"], sub["xyz"], sub["pmask"], caps
+                )
+        return batch
 
     def to_device(batch):
         import jax.numpy as jnp
@@ -154,11 +178,13 @@ def make_distill_loaders(cfg, seed: int = 0):
         )
 
     def train_loader():
-        return _epoch_iter(train_ds, cfg.batch_size, collate_tsd, True, rng,
-                           to_device)
+        for b in _epoch_iter(train_ds, cfg.batch_size, collate_tsd, True, rng,
+                             lambda x: x):
+            yield to_device(add_plumbing(b))
 
     def val_loader():
-        return _epoch_iter(val_ds, cfg.batch_size, collate_tsd, False, rng,
-                           to_device)
+        for b in _epoch_iter(val_ds, cfg.batch_size, collate_tsd, False, rng,
+                             lambda x: x):
+            yield to_device(add_plumbing(b))
 
     return train_loader, val_loader

@@ -75,9 +75,11 @@ def make_distill_train_step(
     axis_name: Optional[str] = None,
 ) -> Callable:
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        from u2mkd_tpu.train.state import get_plumbing
+
         sb, tb = batch["student"], batch["teacher"]
-        spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], s_caps)
-        tpl = P.build_plumbing(tb["pcoords"], tb["xyz"], tb["pmask"], t_caps)
+        spl = get_plumbing(sb, s_caps)
+        tpl = get_plumbing(tb, t_caps)
         labels = sb["labels"]
         pmask = sb["pmask"]
         fov = sb["fov_mask"] & pmask
@@ -162,9 +164,11 @@ def make_distill_eval_step(
     ``train_lc_nusc_tsd_full.py:106-121``)."""
 
     def eval_fn(state: TrainState, batch: Dict) -> Dict:
+        from u2mkd_tpu.train.state import get_plumbing
+
         sb, tb = batch["student"], batch["teacher"]
-        spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], s_caps)
-        tpl = P.build_plumbing(tb["pcoords"], tb["xyz"], tb["pmask"], t_caps)
+        spl = get_plumbing(sb, s_caps)
+        tpl = get_plumbing(tb, t_caps)
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             sb, spl, tb, tpl, False, run_teacher,

@@ -120,6 +120,8 @@ def make_loaders(cfg, seed: int = 0):
             lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, batch
         )
 
+    from u2mkd_tpu.data.prefetch import prefetched_loader
+
     def train_loader():
         return _epoch_iter(train_ds, cfg.batch_size, collate_fn, True, rng,
                            to_device, pcaps)
@@ -128,7 +130,8 @@ def make_loaders(cfg, seed: int = 0):
         return _epoch_iter(val_ds, cfg.batch_size, collate_fn, False, rng,
                            to_device, pcaps)
 
-    return train_loader, val_loader
+    depth = int(cfg.get_path("prefetch_depth", 2))
+    return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)
 
 
 def make_distill_loaders(cfg, seed: int = 0):
@@ -177,6 +180,8 @@ def make_distill_loaders(cfg, seed: int = 0):
             lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, batch
         )
 
+    from u2mkd_tpu.data.prefetch import prefetched_loader
+
     def train_loader():
         for b in _epoch_iter(train_ds, cfg.batch_size, collate_tsd, True, rng,
                              lambda x: x):
@@ -187,4 +192,5 @@ def make_distill_loaders(cfg, seed: int = 0):
                              lambda x: x):
             yield to_device(add_plumbing(b))
 
-    return train_loader, val_loader
+    depth = int(cfg.get_path("prefetch_depth", 2))
+    return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)

@@ -129,36 +129,64 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
     q_t: [Tq, h, d]; k_t/v_t: [Tk, h, d]; same_window: [Tq, Tk] bool.
     Returns [Tq, h, d].
 
-    Contextual RPE is computed in factored form: per axis, project the
-    Q/K/V vectors onto the whole table once ([T, h, L2] einsums), then
-    combine with a per-pair one-hot of the relative-position bin via MXU
-    matmuls. This keeps per-tile temporaries at O(T * W * max(h, L2))
-    instead of the naive O(T * W * 3 * h * d) table gathers — the TPU
-    answer to the reference's per-pair CUDA table lookups
-    (``dot_prod_with_idx_all`` / ``attention_step2_with_rel_pos_value``).
+    Contextual RPE exploits the bin structure per axis. For *difference*
+    axes (cubic xyz, sphere theta/beta: bin = q_i - q_j + G - 1 with
+    q in [0, G)) the Q/K/V table projections are taken as per-row shifted
+    G-slices and contracted against a small one-hot of the coordinate —
+    every term is an MXU matmul over G and no [T, W, L2] tensor exists
+    (those blew up the TPU compiler's backward transposes at scale). The
+    radial axis bins a *continuous* difference (exponential split), so its
+    terms use per-pair gathers instead. This replaces the reference's
+    per-pair CUDA table lookups (``dot_prod_with_idx_all`` /
+    ``attention_step2_with_rel_pos_value``).
     """
     from u2mkd_tpu.ops.precision import cast_compute, compute_dtype
 
     qc, kc, vc = cast_compute(q_t, k_t, v_t)
     attn = jnp.einsum("qhd,khd->qkh", qc, kc,
                       preferred_element_type=jnp.float32)  # [Tq, Tk, h]
-    onehots = None
+
+    diff_axes = ()
     if rpe is not None:
-        idx = _rel_indices(rpe, qi_quant, kj_quant, qi_r, kj_r)  # [Tq, Tk, 3]
-        l2 = rpe.table_q.shape[0]
-        onehots = []
-        for ax in range(3):
-            oh = jax.nn.one_hot(idx[..., ax], l2, dtype=compute_dtype())
-            onehots.append(oh)
-            # qT[i, h, l] = q_i . table_q[l, ax]; contribution = qT at bin
+        g = rpe.grid_len
+        dt = compute_dtype()
+        diff_axes = (0, 1, 2) if rpe.r is None else (0, 1)
+        # [T, 3, G] bin index of table row for (own coord, other coord l)
+        shift_idx_q = qi_quant[:, :, None] - jnp.arange(g)[None, None, :] + g - 1
+        shift_idx_k = jnp.arange(g)[None, None, :] - kj_quant[:, :, None] + g - 1
+        oh_k = jax.nn.one_hot(jnp.clip(kj_quant, 0, g - 1), g, dtype=dt)  # [Tk,3,G]
+        oh_q = jax.nn.one_hot(jnp.clip(qi_quant, 0, g - 1), g, dtype=dt)  # [Tq,3,G]
+        for ax in diff_axes:
             q_tab = jnp.einsum("qhd,lhd->qhl", qc,
-                               cast_compute(rpe.table_q[:, ax]))
-            attn = attn + jnp.einsum("qkl,qhl->qkh", oh, q_tab,
+                               cast_compute(rpe.table_q[:, ax]))  # [Tq,h,L2]
+            q_shift = jnp.take_along_axis(
+                q_tab, shift_idx_q[:, ax][:, None, :], axis=-1
+            )  # [Tq, h, G]
+            attn = attn + jnp.einsum("qhl,kl->qkh", cast_compute(q_shift),
+                                     oh_k[:, ax],
                                      preferred_element_type=jnp.float32)
             k_tab = jnp.einsum("khd,lhd->khl", kc,
                                cast_compute(rpe.table_k[:, ax]))
-            attn = attn + jnp.einsum("qkl,khl->qkh", oh, k_tab,
+            k_shift = jnp.take_along_axis(
+                k_tab, shift_idx_k[:, ax][:, None, :], axis=-1
+            )  # [Tk, h, G]
+            attn = attn + jnp.einsum("ql,khl->qkh", oh_q[:, ax],
+                                     cast_compute(k_shift),
                                      preferred_element_type=jnp.float32)
+        if rpe.r is not None:  # radial axis: per-pair bins
+            r_idx = exponential_split_index(qi_r[:, None] - kj_r[None, :], rpe.a)
+            r_idx = jnp.clip(r_idx, 0, 2 * g - 1)  # [Tq, Tk]
+            q_tab_r = jnp.einsum("qhd,lhd->qhl", qc,
+                                 cast_compute(rpe.table_q[:, 2]))
+            attn = attn + jnp.take_along_axis(
+                q_tab_r[:, None], r_idx[:, :, None, None], axis=-1
+            )[..., 0]
+            k_tab_r = jnp.einsum("khd,lhd->khl", kc,
+                                 cast_compute(rpe.table_k[:, 2]))
+            attn = attn + jnp.take_along_axis(
+                k_tab_r[None], r_idx[:, :, None, None], axis=-1
+            )[..., 0]
+
     attn = jnp.where(same_window[:, :, None], attn, -jnp.inf)
     attn = attn - jax.lax.stop_gradient(jnp.max(attn, axis=1, keepdims=True))
     attn = jnp.where(jnp.isfinite(attn), attn, -jnp.inf)
@@ -169,12 +197,17 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
     out = jnp.einsum("qkh,khd->qhd", pc, vc,
                      preferred_element_type=jnp.float32)
     if rpe is not None:
-        for ax in range(3):
-            # s[i, l, h] = sum_j p[i,j,h] 1{bin(i,j)=l}; then project onto Tv
-            s = jnp.einsum("qkh,qkl->qlh", pc, onehots[ax],
-                           preferred_element_type=jnp.float32)
-            out = out + jnp.einsum("qlh,lhd->qhd", cast_compute(s),
-                                   cast_compute(rpe.table_v[:, ax]),
+        for ax in diff_axes:
+            # m[i, h, l] = sum_j p[i,j,h] 1{q_j = l}
+            m = jnp.einsum("qkh,kl->qhl", pc, oh_k[:, ax],
+                           preferred_element_type=jnp.float32)  # [Tq, h, G]
+            tv_shift = rpe.table_v[:, ax][shift_idx_q[:, ax]]  # [Tq, G, h, d]
+            out = out + jnp.einsum("qhl,qlhd->qhd", cast_compute(m),
+                                   cast_compute(tv_shift),
+                                   preferred_element_type=jnp.float32)
+        if rpe.r is not None:
+            tv_r = rpe.table_v[:, 2][r_idx]  # [Tq, Tk, h, d]
+            out = out + jnp.einsum("qkh,qkhd->qhd", pc, cast_compute(tv_r),
                                    preferred_element_type=jnp.float32)
     return out.astype(q_t.dtype)
 

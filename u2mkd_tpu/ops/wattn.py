@@ -173,19 +173,20 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
             attn = attn + jnp.einsum("ql,khl->qkh", oh_q[:, ax],
                                      cast_compute(k_shift),
                                      preferred_element_type=jnp.float32)
-        if rpe.r is not None:  # radial axis: per-pair bins
+        if rpe.r is not None:  # radial axis: per-pair bins as one-hot matmuls
             r_idx = exponential_split_index(qi_r[:, None] - kj_r[None, :], rpe.a)
             r_idx = jnp.clip(r_idx, 0, 2 * g - 1)  # [Tq, Tk]
+            oh_r = jax.nn.one_hot(r_idx, 2 * g, dtype=dt)  # [Tq, Tk, 2G]
             q_tab_r = jnp.einsum("qhd,lhd->qhl", qc,
                                  cast_compute(rpe.table_q[:, 2]))
-            attn = attn + jnp.take_along_axis(
-                q_tab_r[:, None], r_idx[:, :, None, None], axis=-1
-            )[..., 0]
+            attn = attn + jnp.einsum("qkl,qhl->qkh", oh_r,
+                                     cast_compute(q_tab_r),
+                                     preferred_element_type=jnp.float32)
             k_tab_r = jnp.einsum("khd,lhd->khl", kc,
                                  cast_compute(rpe.table_k[:, 2]))
-            attn = attn + jnp.take_along_axis(
-                k_tab_r[None], r_idx[:, :, None, None], axis=-1
-            )[..., 0]
+            attn = attn + jnp.einsum("qkl,khl->qkh", oh_r,
+                                     cast_compute(k_tab_r),
+                                     preferred_element_type=jnp.float32)
 
     attn = jnp.where(same_window[:, :, None], attn, -jnp.inf)
     attn = attn - jax.lax.stop_gradient(jnp.max(attn, axis=1, keepdims=True))
@@ -206,8 +207,11 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
                                    cast_compute(tv_shift),
                                    preferred_element_type=jnp.float32)
         if rpe.r is not None:
-            tv_r = rpe.table_v[:, 2][r_idx]  # [Tq, Tk, h, d]
-            out = out + jnp.einsum("qkh,qkhd->qhd", pc, cast_compute(tv_r),
+            # m[i, l, h] = sum_j p[i,j,h] 1{bin=l}, then project onto Tv
+            m = jnp.einsum("qkh,qkl->qlh", pc, oh_r,
+                           preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("qlh,lhd->qhd", cast_compute(m),
+                                   cast_compute(rpe.table_v[:, 2]),
                                    preferred_element_type=jnp.float32)
     return out.astype(q_t.dtype)
 

@@ -156,20 +156,23 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
         shift_idx_k = jnp.arange(g)[None, None, :] - kj_quant[:, :, None] + g - 1
         oh_k = jax.nn.one_hot(jnp.clip(kj_quant, 0, g - 1), g, dtype=dt)  # [Tk,3,G]
         oh_q = jax.nn.one_hot(jnp.clip(qi_quant, 0, g - 1), g, dtype=dt)  # [Tq,3,G]
+        l2 = rpe.table_q.shape[0]
+        # shift selectors as small one-hots [T, G, L2]: backward becomes a
+        # matmul instead of a serial scatter (take_along_axis bwd)
+        sh_q = jax.nn.one_hot(shift_idx_q, l2, dtype=dt)  # [Tq, 3, G, L2]
+        sh_k = jax.nn.one_hot(shift_idx_k, l2, dtype=dt)  # [Tk, 3, G, L2]
         for ax in diff_axes:
             q_tab = jnp.einsum("qhd,lhd->qhl", qc,
                                cast_compute(rpe.table_q[:, ax]))  # [Tq,h,L2]
-            q_shift = jnp.take_along_axis(
-                q_tab, shift_idx_q[:, ax][:, None, :], axis=-1
-            )  # [Tq, h, G]
+            q_shift = jnp.einsum("qgl,qhl->qhg", sh_q[:, ax], q_tab,
+                                 preferred_element_type=jnp.float32)
             attn = attn + jnp.einsum("qhl,kl->qkh", cast_compute(q_shift),
                                      oh_k[:, ax],
                                      preferred_element_type=jnp.float32)
             k_tab = jnp.einsum("khd,lhd->khl", kc,
                                cast_compute(rpe.table_k[:, ax]))
-            k_shift = jnp.take_along_axis(
-                k_tab, shift_idx_k[:, ax][:, None, :], axis=-1
-            )  # [Tk, h, G]
+            k_shift = jnp.einsum("kgl,khl->khg", sh_k[:, ax], k_tab,
+                                 preferred_element_type=jnp.float32)
             attn = attn + jnp.einsum("ql,khl->qkh", oh_q[:, ax],
                                      cast_compute(k_shift),
                                      preferred_element_type=jnp.float32)
@@ -202,7 +205,9 @@ def _tile_attention(q_t, k_t, v_t, same_window, rpe: RPEParams | None,
             # m[i, h, l] = sum_j p[i,j,h] 1{q_j = l}
             m = jnp.einsum("qkh,kl->qhl", pc, oh_k[:, ax],
                            preferred_element_type=jnp.float32)  # [Tq, h, G]
-            tv_shift = rpe.table_v[:, ax][shift_idx_q[:, ax]]  # [Tq, G, h, d]
+            tv_shift = jnp.einsum("qgl,lhd->qghd", sh_q[:, ax],
+                                  cast_compute(rpe.table_v[:, ax]),
+                                  preferred_element_type=jnp.float32)
             out = out + jnp.einsum("qhl,qlhd->qhd", cast_compute(m),
                                    cast_compute(tv_shift),
                                    preferred_element_type=jnp.float32)

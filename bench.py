@@ -40,6 +40,8 @@ def main():
     for a in sys.argv:
         if a.startswith("--points="):
             num_points = int(a.split("=")[1])
+        if a.startswith("--batch="):
+            batch_size = int(a.split("=")[1])
     caps = (num_points, num_points // 2, num_points // 4, num_points // 8,
             num_points // 16)
     voxel_size = 0.1
@@ -67,7 +69,9 @@ def main():
 
     tx = optim.make_optimizer("sgd_spformer", 0.02)
     st = train_state.create_train_state(model, tx, batch, caps, jax.random.PRNGKey(0))
-    step = jax.jit(train_state.make_train_step(model, tx, caps))
+    step = jax.jit(train_state.make_train_step(
+        model, tx, caps, remat="--remat" in sys.argv
+    ))
 
     # warmup / compile
     t0 = time.time()

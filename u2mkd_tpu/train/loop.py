@@ -94,6 +94,8 @@ class Trainer:
         extra_count_keys: Iterable[str] = (),
         epoch_to_save: int = 0,
         log_every: int = 10,
+        eval_raw_points: bool = True,
+        logits_key: str = "logits",
     ):
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
@@ -113,6 +115,35 @@ class Trainer:
         self.log_every = log_every
         self.rng = jax.random.PRNGKey(seed)
         self.global_step = 0
+        self.eval_raw_points = eval_raw_points
+        self.logits_key = logits_key
+
+    def _raw_point_counts(self, out, batch):
+        """Exact reference eval semantics: devoxelize logits to the raw cloud
+        via stored inverse maps, filter to keyframe points, score every raw
+        point against its own label (``spformer_trainer.py:96-115``)."""
+        from u2mkd_tpu.train import evaluator as E
+
+        logits = np.asarray(jax.device_get(out[self.logits_key]))
+        total = {k: np.zeros(self.num_classes, np.int64)
+                 for k in ("seen", "correct", "positive")}
+        for i, info in enumerate(batch["infos"]):
+            pmask = np.asarray(batch["pmask"][i])
+            raw_logits = E.devoxelize_predictions(logits[i], pmask, info)
+            pred = np.argmax(raw_logits, axis=-1)
+            labels = info["labels_full"]
+            kf = info.get("keyframe_mask_full")
+            keep = labels != self.ignore_label
+            if kf is not None:
+                keep &= kf.astype(bool)
+            total["seen"] += np.bincount(labels[keep],
+                                         minlength=self.num_classes)
+            total["positive"] += np.bincount(pred[keep],
+                                             minlength=self.num_classes)
+            agree = keep & (pred == labels)
+            total["correct"] += np.bincount(labels[agree],
+                                            minlength=self.num_classes)
+        return total
 
     def evaluate(self) -> Dict[str, float]:
         totals = {
@@ -125,6 +156,20 @@ class Trainer:
             out = self.eval_step(self.state, batch)
             jax.block_until_ready(out)
             infer_times.append(time.time() - t0)
+            use_raw = (
+                self.eval_raw_points
+                and batch.get("infos")
+                and batch["infos"][0] is not None
+                and self.logits_key in out
+            )
+            if use_raw:
+                totals[self.eval_counts_key] = M.merge_counts(
+                    totals[self.eval_counts_key],
+                    self._raw_point_counts(out, batch),
+                )
+                for k in self.extra_count_keys:
+                    totals[k] = M.merge_counts(totals[k], jax.device_get(out[k]))
+                continue
             for k in totals:
                 totals[k] = M.merge_counts(totals[k], jax.device_get(out[k]))
         results = {}

@@ -1,5 +1,7 @@
-"""Benchmark: teacher train-step throughput (scans/sec) on the local device.
+"""Benchmark: train-step throughput (scans/sec) on the local device.
 
+Default: stage-1 teacher step. ``--student`` benches the full stage-2 TSD
+distillation step (student + frozen teacher + camera branch + all losses).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
 against this repo's own first recorded TPU run (BENCH_BASELINE.json).
@@ -13,6 +15,60 @@ import sys
 import time
 
 import numpy as np
+
+
+def bench_student(num_points, batch_size):
+    """Full TSD distillation step: student (LiDAR+cameras) + frozen
+    multisweep teacher + KD losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2mkd_tpu.data import plumbing_host, synthetic
+    from u2mkd_tpu.models.tsd import TSDFull
+    from u2mkd_tpu.train import distill, optim
+
+    s_p = num_points
+    t_p = num_points * 2  # multisweep teacher cloud
+    s_caps = (s_p, s_p // 2, s_p // 4, s_p // 8, s_p // 16)
+    t_caps = (t_p, t_p // 2, t_p // 4, t_p // 8, t_p // 16)
+    rng = np.random.RandomState(0)
+    raw = synthetic.make_multimodal_batch(
+        rng, batch_size, s_p, t_p, voxel_size=0.1, num_cams=3,
+        im_hw=(360, 640),
+    )
+    batch = jax.tree_util.tree_map(jnp.asarray, raw)
+    t0 = time.time()
+    for key, caps in (("student", s_caps), ("teacher", t_caps)):
+        pl = plumbing_host.batch_plumbing(
+            raw[key]["pcoords"], raw[key]["xyz"], raw[key]["pmask"], caps
+        )
+        batch[key]["plumbing"] = {
+            k: [jnp.asarray(a) for a in v] for k, v in pl.items()
+        }
+    host_ms = (time.time() - t0) * 1e3
+
+    model = TSDFull(num_classes=17, cr=1.0, cr_t=2.0,
+                    window_size=(0.6, 0.6, 0.6),
+                    quant_size=(0.6 / 24,) * 3)
+    tx = distill.make_frozen_teacher_optimizer(
+        optim.make_optimizer("sgd_spformer", 0.02)
+    )
+    st = distill.create_distill_state(
+        model, tx, batch["student"], batch["teacher"], s_caps, t_caps,
+        jax.random.PRNGKey(0),
+    )
+    step = jax.jit(distill.make_distill_train_step(model, tx, s_caps, t_caps))
+    t0 = time.time()
+    st, aux = step(st, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(aux["loss"])
+    compile_s = time.time() - t0
+    iters = 5
+    t0 = time.time()
+    for i in range(iters):
+        st, aux = step(st, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(aux["loss"])
+    dt = (time.time() - t0) / iters
+    return batch_size / dt, compile_s, host_ms, float(aux["loss"])
 
 
 def main():
@@ -33,6 +89,25 @@ def main():
         from u2mkd_tpu.ops.precision import set_compute_dtype
 
         set_compute_dtype("bfloat16")
+
+    if "--student" in sys.argv:
+        sp = 2048 if quick else 4096
+        sb = 1
+        for a in sys.argv:
+            if a.startswith("--points="):
+                sp = int(a.split("=")[1])
+            if a.startswith("--batch="):
+                sb = int(a.split("=")[1])
+        sps, compile_s, host_ms, loss = bench_student(sp, sb)
+        print(json.dumps({
+            "metric": "student_tsd_train_scans_per_sec",
+            "value": round(sps, 3),
+            "unit": f"scans/sec ({platform}, Ps={sp}, Pt={2 * sp}, B={sb}, "
+                    f"3 cams 360x640, compile={compile_s:.0f}s, "
+                    f"host_plumb={host_ms:.0f}ms, loss={loss:.3f})",
+            "vs_baseline": 1.0,
+        }))
+        return
 
     # realistic-ish single-sweep scale, sized to keep first-compile tolerable
     batch_size = 2

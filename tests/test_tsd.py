@@ -76,13 +76,23 @@ def test_distill_eval_and_lidar_only(rng):
         model, tx, batch["student"], batch["teacher"], S_CAPS, T_CAPS,
         jax.random.PRNGKey(0),
     )
-    ev = jax.jit(distill.make_distill_eval_step(model, S_CAPS, T_CAPS, NCLS))
+    ev = jax.jit(
+        distill.make_distill_eval_step(model, S_CAPS, T_CAPS, NCLS,
+                                       run_teacher=True)
+    )
     res = ev(st, batch)
     assert np.asarray(res["pred_vox"]).shape == batch["student"]["labels"].shape
     assert np.asarray(res["pred_pix"]).shape == batch["student"]["labels"].shape
-    for k in ("counts_vox", "counts_pix"):
+    for k in ("counts_vox", "counts_pix", "counts_teacher"):
         for a in res[k].values():
             assert np.all(np.asarray(a) >= 0)
+    # teacher counters reflect the multisweep cloud's keyframe points
+    t_valid = np.asarray(batch["teacher"]["pmask"] &
+                         batch["teacher"]["keyframe_mask"])
+    t_labels = np.asarray(batch["teacher"]["labels"])
+    exp_seen = np.bincount(t_labels[t_valid & (t_labels != 0)], minlength=NCLS)
+    np.testing.assert_array_equal(np.asarray(res["counts_teacher"]["seen"]),
+                                  exp_seen)
 
     # camera-free inference path (uses learner pseudo features)
     from u2mkd_tpu.models import plumbing as P

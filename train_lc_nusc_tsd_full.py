@@ -113,6 +113,8 @@ def main():
         w_feat=cfg.criterion.get("w_feat", 1.0), ignore_label=ignore,
         mse_norm_feat=cfg.criterion.get("mse_norm_feat", False),
     )
+    debug_val = bool(cfg.get_path("debug.debug_val", False))
+    extra_counts = ("counts_pix",) + (("counts_teacher",) if debug_val else ())
     if use_dp:
         mesh = pmesh.make_mesh()
         step = pmesh.data_parallel_step(
@@ -121,14 +123,15 @@ def main():
         )
         ev = jax.jit(
             distill.make_distill_eval_step(model_init, s_caps, t_caps, ncls,
-                                           ignore)
+                                           ignore, run_teacher=debug_val)
         )
     else:
         step = jax.jit(
             distill.make_distill_train_step(model, tx, s_caps, t_caps, **kw)
         )
         ev = jax.jit(
-            distill.make_distill_eval_step(model, s_caps, t_caps, ncls, ignore)
+            distill.make_distill_eval_step(model, s_caps, t_caps, ncls,
+                                           ignore, run_teacher=debug_val)
         )
 
     trainer = loop.Trainer(
@@ -136,8 +139,9 @@ def main():
         train_loader=train_loader, val_loader=val_loader,
         num_epochs=cfg.num_epochs, num_classes=ncls,
         seed=cfg.train.seed % (2**31), ignore_label=ignore,
-        eval_counts_key="counts_vox", extra_count_keys=("counts_pix",),
+        eval_counts_key="counts_vox", extra_count_keys=extra_counts,
         epoch_to_save=cfg.get_path("epoch_to_save", 0),
+        eval_raw_points=False,
     )
     trainer.train()
 

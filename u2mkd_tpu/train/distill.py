@@ -187,10 +187,21 @@ def make_distill_eval_step(
             num_classes, ignore_label,
         )
         res = {"pred_vox": pred_vox, "pred_pix": pred_pix,
-               "counts_vox": counts_vox, "counts_pix": counts_pix}
+               "counts_vox": counts_vox, "counts_pix": counts_pix,
+               "logits": stu["x_vox"]}
+        if run_teacher:
+            # teacher-IoU monitoring on its own multisweep cloud
+            # (reference debug.debug_val, train_lc_nusc_tsd_full.py:96-121)
+            pred_t = jnp.argmax(out["t"]["x_vox"], axis=-1)
+            t_valid = tb["pmask"] & tb["keyframe_mask"]
+            res["counts_teacher"] = metrics.iou_counts(
+                pred_t.reshape(-1), tb["labels"].reshape(-1),
+                t_valid.reshape(-1), num_classes, ignore_label,
+            )
         if axis_name is not None:
-            res["counts_vox"] = jax.lax.psum(counts_vox, axis_name)
-            res["counts_pix"] = jax.lax.psum(counts_pix, axis_name)
+            for k in ("counts_vox", "counts_pix", "counts_teacher"):
+                if k in res:
+                    res[k] = jax.lax.psum(res[k], axis_name)
         return res
 
     return eval_fn

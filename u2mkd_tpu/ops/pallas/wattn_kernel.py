@@ -27,27 +27,39 @@ NEG_INF = -1e30
 
 
 def _kernel(kmin_ref, kmax_ref,  # scalar-prefetch [n_tiles]
-            q_ref, k_ref, v_ref, wid_ref, qwid_ref,
+            q_ref, k_hbm, v_hbm, wid_hbm, qwid_ref,
             o_ref,
+            k_s, v_s, w_s, sems,
             *, tile: int, n_heads: int, head_dim: int):
     t = pl.program_id(0)
-    n_tiles = pl.num_programs(0)
     kmin = kmin_ref[t]
     kmax = kmax_ref[t]
     t0 = kmin // tile
     t1 = (kmax - 1) // tile + 1
 
-    q = q_ref[...]        # [tile, h*d]
-    qw = qwid_ref[...]    # [tile, 1] int32 window ids of this query tile
+    q = q_ref[...]          # [tile, hd_pad]
+    qw = qwid_ref[:, :1]    # [tile, 1] int32 window ids of this query tile
 
     def head_slice(x, h):
-        return jax.lax.dynamic_slice_in_dim(x, h * head_dim, head_dim, axis=1)
+        return x[:, h * head_dim:(h + 1) * head_dim]
 
     def body(kt, carry):
         m, l, acc = carry  # [tile, h], [tile, h], [tile, h*d]
-        k_blk = k_ref[pl.ds(kt * tile, tile), :]   # [tile, h*d]
-        v_blk = v_ref[pl.ds(kt * tile, tile), :]
-        kw = wid_ref[pl.ds(kt * tile, tile), :]    # [tile, 1]
+        cps = (
+            pltpu.make_async_copy(k_hbm.at[pl.ds(kt * tile, tile), :], k_s,
+                                  sems.at[0]),
+            pltpu.make_async_copy(v_hbm.at[pl.ds(kt * tile, tile), :], v_s,
+                                  sems.at[1]),
+            pltpu.make_async_copy(wid_hbm.at[pl.ds(kt * tile, tile), :], w_s,
+                                  sems.at[2]),
+        )
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        k_blk = k_s[...]
+        v_blk = v_s[...]
+        kw = w_s[:, :1]                            # [tile, 1]
         same = qw == kw.T                          # [tile, tile]
         new_m_list, new_l_list, acc_list = [], [], []
         for h in range(n_heads):
@@ -83,9 +95,15 @@ def _kernel(kmin_ref, kmax_ref,  # scalar-prefetch [n_tiles]
     # normalize per head
     outs = []
     for h in range(n_heads):
-        a = jax.lax.dynamic_slice_in_dim(acc, h * head_dim, head_dim, axis=1)
+        a = acc[:, h * head_dim:(h + 1) * head_dim]
         outs.append(a / jnp.maximum(l[:, h:h + 1], 1e-20))
-    o_ref[...] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+    res = jnp.concatenate(outs, axis=1)
+    pad_cols = o_ref.shape[1] - res.shape[1]
+    if pad_cols:
+        res = jnp.concatenate(
+            [res, jnp.zeros((res.shape[0], pad_cols), res.dtype)], axis=1
+        )
+    o_ref[...] = res.astype(o_ref.dtype)
 
 
 def flash_window_attention_sorted(
@@ -98,10 +116,17 @@ def flash_window_attention_sorted(
     """Attention over a window-sorted sequence; Np must be a tile multiple."""
     np_, h, d = q.shape
     n_tiles = np_ // tile
-    qf = q.reshape(np_, h * d)
-    kf = k.reshape(np_, h * d)
-    vf = v.reshape(np_, h * d)
-    widc = wid.reshape(np_, 1)
+    hd = h * d
+    hd_pad = -(-hd // 128) * 128  # lane-align for Mosaic memref slices
+
+    def flat(x):
+        x = x.reshape(np_, hd)
+        if hd_pad != hd:
+            x = jnp.pad(x, ((0, 0), (0, hd_pad - hd)))
+        return x
+
+    qf, kf, vf = flat(q), flat(k), flat(v)
+    widc = jnp.pad(wid.reshape(np_, 1), ((0, 0), (0, 127)))  # lane-align
     # per query tile: key range = [seg_start(first row), seg_end(last row))
     firsts = seg_start[:: tile][:n_tiles]
     lasts = seg_end[tile - 1:: tile]
@@ -114,24 +139,30 @@ def flash_window_attention_sorted(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile, h * d), lambda t, *_: (t, 0),
+            pl.BlockSpec((tile, hd_pad), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),   # q tile
             pl.BlockSpec(memory_space=pl.ANY),     # k full
             pl.BlockSpec(memory_space=pl.ANY),     # v full
             pl.BlockSpec(memory_space=pl.ANY),     # wid full
-            pl.BlockSpec((tile, 1), lambda t, *_: (t, 0),
+            pl.BlockSpec((tile, 128), lambda t, *_: (t, 0),
                          memory_space=pltpu.VMEM),   # query wid tile
         ],
-        out_specs=pl.BlockSpec((tile, h * d), lambda t, *_: (t, 0),
+        out_specs=pl.BlockSpec((tile, hd_pad), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tile, hd_pad), q.dtype),   # k tile
+            pltpu.VMEM((tile, hd_pad), q.dtype),   # v tile
+            pltpu.VMEM((tile, 128), jnp.int32),    # wid tile
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel, tile=tile, n_heads=h, head_dim=d),
-        out_shape=jax.ShapeDtypeStruct((np_, h * d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, hd_pad), q.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(kmin, kmax, qf, kf, vf, widc, widc)
-    return out.reshape(np_, h, d)
+    return out[:, :hd].reshape(np_, h, d)
 
 
 def window_bounds_from_sorted(whi_s, wlo_s):

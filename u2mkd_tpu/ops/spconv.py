@@ -72,7 +72,8 @@ def gather_rows(feats: jax.Array, rows: jax.Array) -> jax.Array:
     return jnp.where((rows >= 0)[..., None], g, 0)
 
 
-def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array) -> jax.Array:
+def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,
+                strategy: str = "auto") -> jax.Array:
     """Apply a sparse conv given a rulebook.
 
     feats:  [Vin, Cin]
@@ -80,11 +81,30 @@ def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array) -> jax.Arra
     weight: [K, Cin, Cout]
     Returns [Vout, Cout].
 
-    Sequential scan over K keeps peak memory at one gathered [Vout, Cin]
-    buffer while every step is an MXU matmul.
+    strategy:
+      'concat': gather all K neighbors into one [Vout, K*Cin] buffer and do a
+        single MXU matmul against [K*Cin, Cout] — best utilization (the K*Cin
+        contraction is 128-aligned-ish), transient memory K*Cin per row.
+      'scan': K sequential gather+matmul steps — minimal peak memory.
+      'auto': concat when the transient is <= ~64MB, else scan.
     """
 
     from u2mkd_tpu.ops.precision import cast_compute
+
+    k, cin, cout = weight.shape
+    vout = nbr.shape[1]
+    if strategy == "auto":
+        transient = vout * k * cin * 2  # bf16 bytes
+        strategy = "concat" if transient <= 64 * 1024 * 1024 else "scan"
+
+    if strategy == "concat":
+        g = gather_rows(feats, nbr)                  # [K, Vout, Cin]
+        g = jnp.moveaxis(g, 0, 1).reshape(vout, k * cin)
+        w = weight.reshape(k * cin, cout)
+        g, w = cast_compute(g, w)
+        return jnp.dot(g, w, preferred_element_type=jnp.float32).astype(
+            feats.dtype
+        )
 
     def body(acc, inputs):
         nbr_k, w_k = inputs
@@ -92,7 +112,6 @@ def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array) -> jax.Arra
         g, w_k = cast_compute(g, w_k)
         return acc + jnp.dot(g, w_k, preferred_element_type=acc.dtype), None
 
-    vout = nbr.shape[1]
     acc0 = jnp.zeros((vout, weight.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (nbr, weight))
     return acc.astype(feats.dtype)

@@ -230,10 +230,11 @@ def sparse_window_attention_pallas(
 #
 # STATUS (round 1): numerically exact vs the XLA path (1e-7 interpret,
 # 9e-4 TPU f32-vs-bf16) and compiles in ~12s, but runs ~7x slower than the
-# XLA banded path at V=16k — a fixed ~400us per grid program dominates
-# (compute is ~us; the no-RPE kernel runs ~36us/program). Round-2 lead:
-# isolate whether the second output window / wide qsh block disables Mosaic
-# grid pipelining, and double-buffer the manual DMAs.
+# XLA banded path at V=16k (54ms vs 7.3ms). Ablation: removing the bin-mass
+# output + its carries halves it (27ms); the RPE dots/one-hots/extra DMAs
+# account for the rest over the 3.8ms no-RPE base. Round-2 leads: bf16
+# carries, double-buffered DMAs, emit bin-mass via a second cheap pass, or
+# wider tiles to amortize the per-iteration VMEM traffic.
 #
 # Score terms: per head h, s += q_shift_h @ oh_k^T + oh_q @ k_shift_h^T where
 # q_shift/k_shift are the per-row shifted table projections (computed once

@@ -43,23 +43,35 @@ def _kernel(kmin_ref, kmax_ref,  # scalar-prefetch [n_tiles]
     def head_slice(x, h):
         return x[:, h * head_dim:(h + 1) * head_dim]
 
+    # double-buffered DMA: prefetch tile (kt+1) while computing kt
+    def copies(kt, slot):
+        return (
+            pltpu.make_async_copy(k_hbm.at[pl.ds(kt * tile, tile), :],
+                                  k_s.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[pl.ds(kt * tile, tile), :],
+                                  v_s.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(wid_hbm.at[pl.ds(kt * tile, tile), :],
+                                  w_s.at[slot], sems.at[slot, 2]),
+        )
+
+    for cp in copies(t0, 0):
+        cp.start()
+
     def body(kt, carry):
         m, l, acc = carry  # [tile, h], [tile, h], [tile, h*d]
-        cps = (
-            pltpu.make_async_copy(k_hbm.at[pl.ds(kt * tile, tile), :], k_s,
-                                  sems.at[0]),
-            pltpu.make_async_copy(v_hbm.at[pl.ds(kt * tile, tile), :], v_s,
-                                  sems.at[1]),
-            pltpu.make_async_copy(wid_hbm.at[pl.ds(kt * tile, tile), :], w_s,
-                                  sems.at[2]),
-        )
-        for cp in cps:
-            cp.start()
-        for cp in cps:
+        slot = jax.lax.rem(kt - t0, 2)
+        nxt = 1 - slot
+
+        @pl.when(kt + 1 < t1)
+        def _():
+            for cp in copies(kt + 1, nxt):
+                cp.start()
+
+        for cp in copies(kt, slot):
             cp.wait()
-        k_blk = k_s[...]
-        v_blk = v_s[...]
-        kw = w_s[:, :1]                            # [tile, 1]
+        k_blk = k_s[slot]
+        v_blk = v_s[slot]
+        kw = w_s[slot, :, :1]                      # [tile, 1]
         same = qw == kw.T                          # [tile, tile]
         new_m_list, new_l_list, acc_list = [], [], []
         for h in range(n_heads):
@@ -150,10 +162,10 @@ def flash_window_attention_sorted(
         out_specs=pl.BlockSpec((tile, hd_pad), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tile, hd_pad), q.dtype),   # k tile
-            pltpu.VMEM((tile, hd_pad), q.dtype),   # v tile
-            pltpu.VMEM((tile, 128), jnp.int32),    # wid tile
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, tile, hd_pad), q.dtype),   # k tiles (2 slots)
+            pltpu.VMEM((2, tile, hd_pad), q.dtype),   # v tiles
+            pltpu.VMEM((2, tile, 128), jnp.int32),    # wid tiles
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     out = pl.pallas_call(

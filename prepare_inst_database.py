@@ -75,7 +75,10 @@ def run_nusc(args):
     from u2mkd_tpu.data import nusc_splits
 
     nusc = NuScenesTables(args.root, args.version)
-    samples = nusc_splits.select_samples(nusc.sample, args.split, nusc.scene_name)
+    samples = nusc_splits.select_samples(
+        nusc.sample, args.split, nusc.scene_name,
+        allow_unofficial=args.allow_unofficial_split,
+    )
     db = defaultdict(list)
     for i, sample in enumerate(samples):
         sd_token = sample["data"]["LIDAR_TOP"]
@@ -153,6 +156,9 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--split", default="train")
     p.add_argument("--version", default="v1.0-trainval")
+    p.add_argument("--allow-unofficial-split", action="store_true",
+                   help="permit the hash-split fallback when official "
+                        "nuScenes split indices are missing")
     args = p.parse_args()
     os.makedirs(args.out, exist_ok=True)
     db = {"nusc": run_nusc, "kitti": run_kitti, "waymo": run_waymo}[args.dataset](args)

@@ -139,3 +139,90 @@ def test_train_step_determinism(rng):
         st, out = step(st, batch, jax.random.PRNGKey(11))
         losses.append(float(out["loss"]))
     assert losses[0] == losses[1]
+
+
+# --- reference-config key parity (VERDICT r1 #7) -------------------------
+
+_REF = "/root/reference/configs"
+_REPO_CFG = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+# reference dotted key -> repo dotted key. Identity unless listed here;
+# None = intentionally dropped, with the reason recorded in the comment.
+_KEYMAP = {
+    "workers_per_gpu": "workers",
+    "amp_enabled": "precision",      # bf16 compute policy replaces torch AMP
+    "model.align_loss": None,        # align loss fixed to MSE (train/criterions.py)
+    "debug.show_image": None,        # open3d viewer -> headless utils/visualize.py
+}
+
+
+def _flat_keys(d, prefix=""):
+    out = []
+    for k, v in d.items():
+        kk = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.extend(_flat_keys(v, kk + "."))
+        else:
+            out.append(kk)
+    return out
+
+
+def _has_path(cfg, dotted):
+    sentinel = object()
+    return cfg.get_path(dotted, sentinel) is not sentinel
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference snapshot absent")
+@pytest.mark.parametrize(
+    "ref_yaml,repo_yaml",
+    [
+        ("nuscenes/train/spformer.yaml", "nuscenes/train/spformer.yaml"),
+        ("nuscenes/train/spformer_tsd_full_ours_star.yaml",
+         "nuscenes/train/spformer_tsd_full_ours_star.yaml"),
+        ("nuscenes/train/spformer_tsd_full_ours_star_B.yaml",
+         "nuscenes/train/spformer_tsd_full_ours_star_B.yaml"),
+    ],
+)
+def test_reference_config_key_parity(ref_yaml, repo_yaml):
+    """Every key the reference recipe defines (including its recursive
+    defaults) must resolve in the repo's matching recursive config, modulo
+    the explicit _KEYMAP renames/drops."""
+    import yaml
+
+    ref_keys = set()
+    # torchpack-style recursion: default.yaml files up the directory tree
+    parts = ref_yaml.split("/")
+    chain = [os.path.join(_REF, *parts[:i], "default.yaml")
+             for i in range(len(parts))] + [os.path.join(_REF, ref_yaml)]
+    for path in chain:
+        if os.path.exists(path):
+            with open(path) as f:
+                ref_keys.update(_flat_keys(yaml.safe_load(f) or {}))
+
+    cfg = config_lib.load(os.path.join(_REPO_CFG, repo_yaml))
+    missing = []
+    for key in sorted(ref_keys):
+        mapped = _KEYMAP.get(key, key)
+        if mapped is None:
+            continue
+        if not _has_path(cfg, mapped):
+            missing.append(f"{key} -> {mapped}")
+    assert not missing, f"unmapped reference config keys: {missing}"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference snapshot absent")
+def test_b_variant_builds():
+    """The paper's B student (w_kl=w_feat=2, cr 2.0, batch 3 — reference
+    spformer_tsd_full_ours_star_B.yaml) must build through the factories."""
+    from u2mkd_tpu.train import builder
+
+    cfg = config_lib.load(
+        os.path.join(_REPO_CFG, "nuscenes/train/spformer_tsd_full_ours_star_B.yaml")
+    )
+    assert cfg.criterion.w_kl == 2.0 and cfg.criterion.w_feat == 2.0
+    assert cfg.model.cr == 2.0 and cfg.batch_size == 3
+    model = builder.make_model(cfg)
+    assert type(model).__name__ == "TSDFull"
+    assert model.cr == 2.0 and model.cr_t == 2.0
+    tx = builder.make_optimizer_and_schedule(cfg, world_size=1)
+    assert tx is not None

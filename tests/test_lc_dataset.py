@@ -70,7 +70,7 @@ def test_lc_dataset_end_to_end(tmp_path, rng):
         ds = LCSemanticNuscTSD(
             root, voxel_size=0.1, student_capacity=512, teacher_capacity=1024,
             version="v1.0-test", split=split, num_sweeps=1, im_drop=3,
-            im_cr=0.1,
+            im_cr=0.1, allow_unofficial_split=True,
         )
         if len(ds):
             break
@@ -113,7 +113,7 @@ def test_t2s_label_consistency(tmp_path, rng):
         ds = LCSemanticNuscTSD(
             root, voxel_size=0.1, student_capacity=512, teacher_capacity=1024,
             version="v1.0-test", split=split, num_sweeps=0, im_drop=0,
-            im_cr=0.1,
+            im_cr=0.1, allow_unofficial_split=True,
         )
         if len(ds):
             break

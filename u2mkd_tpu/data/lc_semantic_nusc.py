@@ -46,12 +46,14 @@ class LCSemanticNuscTSD(SemanticNusc):
         im_cr: float = 0.4,
         inst_augmenter=None,
         seed: int = 0,
+        allow_unofficial_split: bool = False,
     ):
         super().__init__(
             root, voxel_size, teacher_capacity, version, split,
             num_sweeps=num_sweeps, only_past=only_past,
             flip_aug=True, rotate_aug=True, translate_std=None,
             inst_augmenter=inst_augmenter, seed=seed,
+            allow_unofficial_split=allow_unofficial_split,
         )
         self.student_capacity = student_capacity
         self.teacher_capacity = teacher_capacity

@@ -90,6 +90,7 @@ def make_loaders(cfg, seed: int = 0):
                 inst_augmenter=_maybe_inst_augmenter(cfg, "nusc")
                 if split == "train" else None,
                 seed=seed,
+                allow_unofficial_split=d.get("allow_unofficial_split", False),
             )
         collate_fn = collate
     elif name == "semantic_kitti":
@@ -154,6 +155,7 @@ def make_distill_loaders(cfg, seed: int = 0):
             inst_augmenter=_maybe_inst_augmenter(cfg, "nusc")
             if split == "train" else None,
             seed=seed,
+            allow_unofficial_split=d.get("allow_unofficial_split", False),
         )
 
     train_ds, val_ds = build("train"), build("val")

@@ -34,11 +34,23 @@ def split_scenes(split: str, version: str) -> List[str]:
     )
 
 
-def select_samples(samples: List[dict], split: str, scene_name_fn) -> List[dict]:
+def select_samples(samples: List[dict], split: str, scene_name_fn,
+                   allow_unofficial: bool = False) -> List[dict]:
     idx = official_indices(split)
     if idx is not None and len(samples) > int(idx.max()):
         return [samples[i] for i in idx]
-    # deterministic hash fallback: ~85/15 by scene name
+    # Deterministic hash fallback: ~85/15 by scene name. For benchmark-parity
+    # runs a silent non-official split would corrupt mIoU comparisons, so it
+    # must be opted into explicitly (VERDICT r1 weak #6).
+    if not allow_unofficial:
+        raise RuntimeError(
+            "official nuScenes split indices unavailable or incompatible "
+            f"with this table (split={split!r}, n_samples={len(samples)}); "
+            "place nuscenes_{train,val}_official.npy under data/nuscenes/ "
+            "(the artifacts the reference loads, semantic_nusc.py:154-159) "
+            "or pass allow_unofficial_split=True to use a deterministic "
+            "hash split that is NOT the benchmark split"
+        )
     import warnings
 
     warnings.warn(

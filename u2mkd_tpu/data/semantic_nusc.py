@@ -67,6 +67,7 @@ class SemanticNusc:
         translate_std=None,
         inst_augmenter=None,
         seed: int = 0,
+        allow_unofficial_split: bool = False,
     ):
         self.nusc = NuScenesTables(root, version)
         self.root = root
@@ -81,7 +82,8 @@ class SemanticNusc:
         self.translate_std = translate_std if self.train else None
         self.inst_augmenter = inst_augmenter if self.train else None
         self.samples = nusc_splits.select_samples(
-            self.nusc.sample, split, self.nusc.scene_name
+            self.nusc.sample, split, self.nusc.scene_name,
+            allow_unofficial=allow_unofficial_split,
         )
         self.rng = np.random.RandomState(seed)
 

@@ -53,3 +53,129 @@ def test_flash_matches_banded_xla(rng):
         )
     )
     np.testing.assert_allclose(got[valid], ref[valid], atol=3e-5)
+
+
+# --- v3: contextual-RPE flash kernel with custom VJP ----------------------
+
+import pytest  # noqa: E402
+from test_wattn import np_exponential_split  # noqa: E402
+from u2mkd_tpu.ops import wattn  # noqa: E402
+
+
+def make_rpe_inputs(rng, vcap=200, h=2, d=8, g=6, radial=False, spread=6.0):
+    q, k, v, xyz, valid = make_attn_inputs(rng, vcap, h, d, spread)
+    l2 = 2 * g if radial else 2 * g - 1
+    tq = rng.randn(l2, 3, h, d).astype(np.float32) * 0.1
+    tk = rng.randn(l2, 3, h, d).astype(np.float32) * 0.1
+    tv = rng.randn(l2, 3, h, d).astype(np.float32) * 0.1
+    ws = (1.5, 1.5, 1.5)
+    quant = np.asarray(wattn.quantize_in_window(
+        jnp.asarray(xyz), jnp.asarray(valid), ws, tuple(w / g for w in ws),
+        shift=False))
+    r = np.linalg.norm(xyz, axis=-1).astype(np.float32) if radial else None
+    return q, k, v, xyz, valid, quant, (tq, tk, tv), ws, r
+
+
+def _flash_out(q, k, v, xyz, valid, quant, tables, ws, g, r, tile=64):
+    tq, tk, tv = tables
+    rpe = wattn.RPEParams(
+        table_q=jnp.asarray(tq), table_k=jnp.asarray(tk),
+        table_v=jnp.asarray(tv), quant=jnp.asarray(quant), grid_len=g,
+        r=None if r is None else jnp.asarray(r), a=0.05,
+    )
+    return pk.sparse_window_attention_flash(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(xyz),
+        jnp.asarray(valid), ws, rpe=rpe, tile=tile, interpret=True,
+    )
+
+
+def test_flash_rpe_cubic_matches_oracle(rng):
+    g = 6
+    q, k, v, xyz, valid, quant, tables, ws, _ = make_rpe_inputs(rng, g=g)
+    got = np.asarray(_flash_out(q, k, v, xyz, valid, quant, tables, ws, g,
+                                None))
+    exp = np_window_attention(q, k, v, xyz, valid, ws, quant=quant,
+                              tables=tables, grid_len=g)
+    np.testing.assert_allclose(got[valid], exp[valid], atol=5e-5)
+    assert np.all(got[~valid] == 0)
+
+
+def test_flash_rpe_sphere_matches_oracle(rng):
+    g = 6
+    q, k, v, xyz, valid, quant, tables, ws, r = make_rpe_inputs(
+        rng, g=g, radial=True)
+    got = np.asarray(_flash_out(q, k, v, xyz, valid, quant, tables, ws, g, r))
+    exp = np_window_attention(q, k, v, xyz, valid, ws, quant=quant,
+                              tables=tables, grid_len=g, r=r, a=0.05)
+    np.testing.assert_allclose(got[valid], exp[valid], atol=5e-5)
+
+
+def _loss_through(path, q, k, v, xyz, valid, quant, tables, ws, g, r,
+                  dloss):
+    """Scalar loss through either attention path; args are jnp arrays."""
+    tq, tk, tv = tables
+    rpe = wattn.RPEParams(table_q=tq, table_k=tk, table_v=tv, quant=quant,
+                          grid_len=g, r=r, a=0.05)
+    if path == "flash":
+        out = pk.sparse_window_attention_flash(
+            q, k, v, xyz, valid, ws, rpe=rpe, tile=64, interpret=True)
+    else:
+        out = wattn.sparse_window_attention(
+            q, k, v, xyz, valid, ws, rpe=rpe, band=3, tile=64)
+    return jnp.sum(out * dloss)
+
+
+@pytest.mark.parametrize("radial", [False, True])
+def test_flash_rpe_grads_match_xla(rng, radial):
+    """d(loss)/d(q,k,v,tables) through the Pallas custom VJP must match the
+    XLA banded path (which autodiffs through the same math)."""
+    g = 6
+    q, k, v, xyz, valid, quant, tables, ws, r = make_rpe_inputs(
+        rng, vcap=150, g=g, radial=radial)
+    dloss = rng.randn(*q.shape).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (q, k, v) + tables)
+
+    def make_fn(path):
+        def fn(q_, k_, v_, tq_, tk_, tv_):
+            return _loss_through(
+                path, q_, k_, v_, jnp.asarray(xyz), jnp.asarray(valid),
+                jnp.asarray(quant), (tq_, tk_, tv_), ws, g,
+                None if r is None else jnp.asarray(r), jnp.asarray(dloss))
+        return fn
+
+    g_flash = jax.grad(make_fn("flash"), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_xla = jax.grad(make_fn("xla"), argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ["dq", "dk", "dv", "dtq", "dtk", "dtv"]
+    for name, a, b in zip(names, g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4,
+            err_msg=f"{name} mismatch (radial={radial})")
+
+
+def test_flash_batched_matches_per_sample(rng):
+    g = 6
+    b = 2
+    qs, kss, vs, xyzs, valids, quants, rs = [], [], [], [], [], [], []
+    tables = None
+    for i in range(b):
+        q, k, v, xyz, valid, quant, tabs, ws, r = make_rpe_inputs(
+            np.random.RandomState(i), vcap=150, g=g, radial=True)
+        tables = tabs if tables is None else tables
+        qs.append(q); kss.append(k); vs.append(v); xyzs.append(xyz)
+        valids.append(valid); quants.append(quant); rs.append(r)
+    st = lambda xs: jnp.asarray(np.stack(xs))
+    tq, tk, tv = (jnp.asarray(t) for t in tables)
+    rpe_b = wattn.RPEParams(table_q=tq, table_k=tk, table_v=tv,
+                            quant=st(quants), grid_len=g, r=st(rs), a=0.05)
+    got = np.asarray(pk.sparse_window_attention_flash_batched(
+        st(qs), st(kss), st(vs), st(xyzs), st(valids), (1.5, 1.5, 1.5),
+        rpe=rpe_b, tile=64, interpret=True))
+    for i in range(b):
+        rpe_i = wattn.RPEParams(table_q=tq, table_k=tk, table_v=tv,
+                                quant=jnp.asarray(quants[i]), grid_len=g,
+                                r=jnp.asarray(rs[i]), a=0.05)
+        exp = np.asarray(pk.sparse_window_attention_flash(
+            jnp.asarray(qs[i]), jnp.asarray(kss[i]), jnp.asarray(vs[i]),
+            jnp.asarray(xyzs[i]), jnp.asarray(valids[i]), (1.5, 1.5, 1.5),
+            rpe=rpe_i, tile=64, interpret=True))
+        np.testing.assert_allclose(got[i], exp, atol=1e-5)

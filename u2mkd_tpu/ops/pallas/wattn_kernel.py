@@ -237,263 +237,910 @@ def sparse_window_attention_pallas(
     return jnp.where(valid[:, None, None], out, 0.0)
 
 
-# ---------------------------------------------------------------------------
-# v2: contextual RPE (difference axes) folded into the kernel.
-#
-# STATUS (round 1): numerically exact vs the XLA path (1e-7 interpret,
-# 9e-4 TPU f32-vs-bf16) and compiles in ~12s, but runs ~7x slower than the
-# XLA banded path at V=16k (54ms vs 7.3ms). Ablation: removing the bin-mass
-# output + its carries halves it (27ms); the RPE dots/one-hots/extra DMAs
-# account for the rest over the 3.8ms no-RPE base. Round-2 leads: bf16
-# carries, double-buffered DMAs, emit bin-mass via a second cheap pass, or
-# wider tiles to amortize the per-iteration VMEM traffic.
-#
-# Score terms: per head h, s += q_shift_h @ oh_k^T + oh_q @ k_shift_h^T where
-# q_shift/k_shift are the per-row shifted table projections (computed once
-# per element in XLA, O(N)) and oh_* are in-kernel one-hots of the quantized
-# coordinates. The value term needs only the per-element bin-mass matrix
-# m[i, h, ag] = sum_j p_ij 1{coord_j = ag}, emitted as a second output and
-# contracted against the V-table outside (pair-free epilogue).
-# Covers the cubic branch exactly (all 3 axes are difference-structured);
-# the sphere branch additionally needs the radial exponential split
-# (round-2, same pattern with a per-pair bin).
-# ---------------------------------------------------------------------------
 
 
-def _kernel_rpe(kmin_ref, kmax_ref,
-                q_ref, qsh_ref, meta_q_ref,
-                k_hbm, v_hbm, ksh_hbm, meta_hbm,
-                o_ref, m_ref,
-                k_s, v_s, ksh_s, meta_s, sems,
-                *, tile: int, n_heads: int, head_dim: int,
-                n_axes: int, grid_len: int):
+# ---------------------------------------------------------------------------
+# v3: contextual-RPE flash window attention with a custom-VJP backward.
+#
+# Replaces the remaining sptr CUDA surface end to end (reference
+# ``sptr/functional.py``: dot_prod_with_idx_all fwd+bwd at
+# ``relative_pos_encoding_cuda_kernel.cu:4-113``, CSR softmax,
+# attention_step2_with_rel_pos_value fwd+bwd at ``:151-274`` and
+# ``attention_cuda_kernel.cu:29-75``) for BOTH SphereFormer branches:
+#
+#   * difference axes (cubic xyz; sphere theta/beta): bin = q_i - q_j + G - 1.
+#     The per-pair table lookups are restructured as per-element shifted table
+#     projections (computed in XLA, O(N)) contracted against small one-hots —
+#     every score term rides the MXU.
+#   * radial axis (sphere r): bin = exponential_split(r_i - r_j) is computed
+#     per pair in-kernel (VPU log/compare) and applied through a shared
+#     [T, Lr, T] one-hot mask (lookup / mass helpers below).
+#
+# Layout: per head, Q/K rows are packed into one zero-padded SEGMENT so the
+# whole score is ONE aligned full-segment matmul:
+#     qseg = [ q | qsh | oh_q | qr | 0  | pad0 ]
+#     kseg = [ k | oh_k | ksh | 0  | kr | pad0 ]
+#     dot(qseg, kseg) = q.k + qsh.oh_k + oh_q.ksh   (radial cols orthogonal)
+# and the value side
+#     vseg = [ v | oh_k | 0 | pad0 ]    ->  p @ vseg = [ out | bin-mass | 0 ]
+#     gseg = [do | edo  | edor | pad0 ] ->  g @ vseg = dp  (backward)
+# The V-table epilogue and all table gradients are pair-free XLA einsums over
+# the per-element bin masses (the "shifted-mass" trick mirrors the forward
+# shifted projections).
+#
+# The kernel is two-pass (pass 1: online max/logsumexp with tiny [T, h]
+# carries; pass 2: normalized accumulation straight into the output refs) —
+# no wide loop-carried accumulators, which were the v2 kernel's 2x overhead.
+# Backward = two more kernels with the same structure: grid over query tiles
+# (dq + query-side masses) and grid over key tiles (dk, dv + key-side
+# masses); window runs are contiguous in the sorted order, so the per-tile
+# dynamic [kmin, kmax) ranges are symmetric between the two.
+# ---------------------------------------------------------------------------
+
+import math
+from typing import NamedTuple, Optional
+
+import numpy as onp
+
+from u2mkd_tpu.ops import wattn as _wattn
+
+
+class FlashRPEConfig(NamedTuple):
+    """Static (hashable) kernel configuration."""
+
+    tile: int
+    h: int
+    d: int
+    g: int        # quant grid length G
+    l2: int       # table rows (2G-1 cubic, 2G sphere)
+    n_diff: int   # difference axes: 3 (cubic) or 2 (sphere)
+    radial: bool
+    lr: int       # radial bins (2G) or 0
+    a: float
+    interpret: bool = False
+
+    @property
+    def wd(self):
+        return self.n_diff * self.g
+
+    @property
+    def sk(self):  # q/k segment width
+        return _pad128(self.d + 2 * self.wd + 2 * self.lr)
+
+    @property
+    def sv(self):  # v / grad segment width
+        return _pad128(self.d + self.wd + self.lr)
+
+
+def _pad128(w: int) -> int:
+    return max(128, -(-w // 128) * 128)
+
+
+def _exp_split_bins(rel, a, lr):
+    """exponential_split bin, clipped — mirrors
+    ``wattn.exponential_split_index`` (reference ``spherical_transformer.py:
+    39-64``); inlined so the kernel body has no cross-module closure."""
+    rel_abs = jnp.abs(rel)
+    flag = (rel >= 0).astype(rel.dtype)
+    idx = 2.0 * jnp.floor(jnp.log((rel_abs + 2 * a) / a) / math.log(2.0)) - 2.0
+    idx = idx + (
+        (3.0 * jnp.exp2(jnp.floor(idx / 2.0)) - 2.0) * a <= rel_abs
+    ).astype(rel.dtype)
+    idx = idx * (2.0 * flag - 1.0) + (flag - 1.0)
+    return jnp.clip(idx.astype(jnp.int32) + 24, 0, lr - 1)
+
+
+# -- in-kernel radial helpers (shared [Tq, Lr, Tk] one-hot) -----------------
+
+def _radial_oh(bins, lr):
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, lr, 1), 1)
+    return bins[:, None, :] == li                      # [Tq, Lr, Tk] bool
+
+
+def _lkq(oh3, tab_q):
+    """z[i, j] = tab_q[i, bins[i, j]];  tab_q [Tq, Lr] f32."""
+    return jnp.sum(jnp.where(oh3, tab_q[:, :, None], 0.0), axis=1)
+
+
+def _lkk(oh3, tab_k):
+    """z[i, j] = tab_k[j, bins[i, j]];  tab_k [Tk, Lr] f32."""
+    return jnp.sum(jnp.where(oh3, tab_k.T[None, :, :], 0.0), axis=1)
+
+
+def _massq(oh3, w):
+    """m[i, l] = sum_j w[i, j] 1{bins[i,j]=l}  -> [Tq, Lr]."""
+    return jnp.sum(jnp.where(oh3, w[:, None, :], 0.0), axis=2)
+
+
+def _massk(oh3, w):
+    """m[j, l] = sum_i w[i, j] 1{bins[i,j]=l}  -> [Tk, Lr]."""
+    return jnp.sum(jnp.where(oh3, w[:, None, :], 0.0), axis=0).T
+
+
+def _dot_nt(a, b):
+    """a [M, C] @ b[N, C]^T -> [M, N] f32 (no transpose materialized)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_nn(a, b):
+    """a [M, K] @ b [K, N] -> [M, N] f32."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_tn(a, b):
+    """a [K, M]^T @ b [K, N] -> [M, N] f32 (contract leading dims)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# -- forward kernel ----------------------------------------------------------
+
+def _fwd_kernel(kmin_ref, kmax_ref,
+                qcat_ref, auxq_ref,
+                kcat_hbm, vcat_hbm, auxk_hbm,
+                ov_ref, mr_ref, lse_ref,
+                kcat_s, vcat_s, auxk_s, sems,
+                *, cfg: FlashRPEConfig):
+    T, H, d = cfg.tile, cfg.h, cfg.d
+    wd, lr, sk, sv = cfg.wd, cfg.lr, cfg.sk, cfg.sv
     t = pl.program_id(0)
-    kmin = kmin_ref[t]
-    kmax = kmax_ref[t]
-    t0 = kmin // tile
-    t1 = (kmax - 1) // tile + 1
-    ag = n_axes * grid_len
+    t0 = kmin_ref[t] // T
+    t1 = (kmax_ref[t] - 1) // T + 1
 
-    q = q_ref[...]             # [tile, hd_pad]
-    qsh = qsh_ref[...]         # [tile, S_pad]
-    qw = meta_q_ref[:, :1]     # [tile, 1] window rank
-    g_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, grid_len), 1)
+    qcat = qcat_ref[...]
+    auxq = auxq_ref[...]
+    rank_q = auxq[:, 0:1]
+    r_q = auxq[:, 1]
 
-    def onehot_all(meta):
-        cols = []
-        for ax in range(n_axes):
-            qv = meta[:, 1 + ax:2 + ax]  # [tile, 1]
-            cols.append((g_iota == qv).astype(jnp.float32))
-        return jnp.concatenate(cols, axis=1)  # [tile, n_axes*G]
+    def cps(kt, slot, with_v):
+        out = [
+            pltpu.make_async_copy(kcat_hbm.at[pl.ds(kt * T, T), :],
+                                  kcat_s.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(auxk_hbm.at[pl.ds(kt * T, T), :],
+                                  auxk_s.at[slot], sems.at[slot, 1]),
+        ]
+        if with_v:
+            out.append(pltpu.make_async_copy(vcat_hbm.at[pl.ds(kt * T, T), :],
+                                             vcat_s.at[slot], sems.at[slot, 2]))
+        return out
 
-    oh_q = onehot_all(meta_q_ref[...])
+    def scores(hh, kcat_blk, oh3):
+        s = _dot_nt(qcat[:, hh * sk:(hh + 1) * sk],
+                    kcat_blk[:, hh * sk:(hh + 1) * sk])
+        if cfg.radial:
+            o_q = d + 2 * wd
+            o_k = d + 2 * wd + lr
+            qr = qcat[:, hh * sk + o_q:hh * sk + o_q + lr].astype(jnp.float32)
+            kr = kcat_blk[:, hh * sk + o_k:hh * sk + o_k + lr].astype(jnp.float32)
+            s = s + _lkq(oh3, qr) + _lkk(oh3, kr)
+        return s
 
-    def head(x, h, width):
-        return x[:, h * width:(h + 1) * width]
+    def radial_oh(auxk_blk):
+        if not cfg.radial:
+            return None
+        bins = _exp_split_bins(r_q[:, None] - auxk_blk[:, 1][None, :],
+                               cfg.a, lr)
+        return _radial_oh(bins, lr)
 
-    # query-side terms are loop-invariant: hoist
-    cat_q = [
-        jnp.concatenate([head(q, h, head_dim), head(qsh, h, ag), oh_q], axis=1)
-        for h in range(n_heads)
-    ]
+    # pass 1: online max / logsumexp
+    for cp in cps(t0, 0, False):
+        cp.start()
 
-    def body(kt, carry):
-        m, l, acc, mm = carry  # tuples over heads
-        cps = (
-            pltpu.make_async_copy(k_hbm.at[pl.ds(kt * tile, tile), :], k_s,
-                                  sems.at[0]),
-            pltpu.make_async_copy(v_hbm.at[pl.ds(kt * tile, tile), :], v_s,
-                                  sems.at[1]),
-            pltpu.make_async_copy(ksh_hbm.at[pl.ds(kt * tile, tile), :], ksh_s,
-                                  sems.at[2]),
-            pltpu.make_async_copy(meta_hbm.at[pl.ds(kt * tile, tile), :],
-                                  meta_s, sems.at[3]),
-        )
-        for cp in cps:
-            cp.start()
-        for cp in cps:
+    def body1(kt, carry):
+        m, l = carry
+        slot = jax.lax.rem(kt - t0, 2)
+
+        @pl.when(kt + 1 < t1)
+        def _():
+            for cp in cps(kt + 1, 1 - slot, False):
+                cp.start()
+
+        for cp in cps(kt, slot, False):
             cp.wait()
-        k_blk = k_s[...]
-        v_blk = v_s[...]
-        ksh_blk = ksh_s[...]
-        meta_k = meta_s[...]
-        oh_k = onehot_all(meta_k)                  # [tile, AG]
-        same = qw == meta_k[:, :1].T               # [tile, tile]
-        new_m, new_l, new_acc, new_mm = [], [], [], []
-        for h in range(n_heads):
-            cat_k = jnp.concatenate(
-                [head(k_blk, h, head_dim), oh_k, head(ksh_blk, h, ag)], axis=1
-            )
-            s = jax.lax.dot_general(
-                cat_q[h], cat_k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = jnp.where(same, s, NEG_INF)
-            m_new = jnp.maximum(m[h], jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            scale = jnp.exp(m[h] - m_new)
-            l_new = l[h] * scale + jnp.sum(p, axis=1, keepdims=True)
-            cat_v = jnp.concatenate([head(v_blk, h, head_dim), oh_k], axis=1)
-            av = jax.lax.dot_general(
-                p, cat_v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            new_m.append(m_new)
-            new_l.append(l_new)
-            new_acc.append(acc[h] * scale + av[:, :head_dim])
-            new_mm.append(mm[h] * scale + av[:, head_dim:])
-        return tuple(new_m), tuple(new_l), tuple(new_acc), tuple(new_mm)
+        kcat_blk = kcat_s[slot]
+        auxk_blk = auxk_s[slot]
+        same = rank_q == auxk_blk[:, 0:1].T
+        oh3 = radial_oh(auxk_blk)
+        ms, ls = [], []
+        for hh in range(H):
+            s = jnp.where(same, scores(hh, kcat_blk, oh3), NEG_INF)
+            m_h = m[:, hh:hh + 1]
+            m_new = jnp.maximum(m_h, jnp.max(s, axis=1, keepdims=True))
+            l_new = l[:, hh:hh + 1] * jnp.exp(m_h - m_new) + jnp.sum(
+                jnp.exp(s - m_new), axis=1, keepdims=True)
+            ms.append(m_new)
+            ls.append(l_new)
+        return jnp.concatenate(ms, 1), jnp.concatenate(ls, 1)
 
-    m0 = tuple(jnp.full((tile, 1), NEG_INF, jnp.float32)
-               for _ in range(n_heads))
-    l0 = tuple(jnp.zeros((tile, 1), jnp.float32) for _ in range(n_heads))
-    acc0 = tuple(jnp.zeros((tile, head_dim), jnp.float32)
-                 for _ in range(n_heads))
-    mm0 = tuple(jnp.zeros((tile, ag), jnp.float32) for _ in range(n_heads))
-    m, l, acc, mm = jax.lax.fori_loop(t0, t1, body, (m0, l0, acc0, mm0))
+    m0 = jnp.full((T, H), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((T, H), jnp.float32)
+    m, l = jax.lax.fori_loop(t0, t1, body1, (m0, l0))
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))           # [T, H]
 
-    outs, mouts = [], []
-    for h in range(n_heads):
-        inv_l = 1.0 / jnp.maximum(l[h], 1e-20)
-        outs.append(acc[h] * inv_l)
-        mouts.append(mm[h] * inv_l)
-    res = jnp.concatenate(outs, axis=1)
-    mres = jnp.concatenate(mouts, axis=1)
+    # pass 2: normalized accumulation straight into the output refs
+    ov_ref[...] = jnp.zeros_like(ov_ref)
+    mr_ref[...] = jnp.zeros_like(mr_ref)
+    lse_ref[...] = jnp.concatenate(
+        [lse, jnp.zeros((T, 128 - H), jnp.float32)], axis=1
+    ).astype(lse_ref.dtype)
 
-    def pad_cols(x, ref):
-        pad = ref.shape[1] - x.shape[1]
-        if pad:
-            x = jnp.concatenate(
-                [x, jnp.zeros((x.shape[0], pad), x.dtype)], axis=1
-            )
-        return x.astype(ref.dtype)
+    for cp in cps(t0, 0, True):
+        cp.start()
 
-    o_ref[...] = pad_cols(res, o_ref)
-    m_ref[...] = pad_cols(mres, m_ref)
+    def body2(kt, _):
+        slot = jax.lax.rem(kt - t0, 2)
+
+        @pl.when(kt + 1 < t1)
+        def _():
+            for cp in cps(kt + 1, 1 - slot, True):
+                cp.start()
+
+        for cp in cps(kt, slot, True):
+            cp.wait()
+        kcat_blk = kcat_s[slot]
+        vcat_blk = vcat_s[slot]
+        auxk_blk = auxk_s[slot]
+        same = rank_q == auxk_blk[:, 0:1].T
+        oh3 = radial_oh(auxk_blk)
+        for hh in range(H):
+            s = scores(hh, kcat_blk, oh3)
+            p = jnp.where(same, jnp.exp(s - lse[:, hh:hh + 1]), 0.0)
+            av = _dot_nn(p.astype(vcat_blk.dtype),
+                         vcat_blk[:, hh * sv:(hh + 1) * sv])
+            ov_ref[:, hh * sv:(hh + 1) * sv] = (
+                ov_ref[:, hh * sv:(hh + 1) * sv] + av.astype(ov_ref.dtype))
+            if cfg.radial:
+                mr_ref[:, hh * 128:hh * 128 + lr] = (
+                    mr_ref[:, hh * 128:hh * 128 + lr]
+                    + _massq(oh3, p).astype(mr_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body2, 0)
 
 
-def sparse_window_attention_pallas_rpe(
-    q, k, v, xyz, valid, window_size, rpe,
-    tile: int = 128, interpret: bool = False,
-):
-    """RPE-folded Pallas attention (difference axes — the cubic branch).
+# -- backward kernels --------------------------------------------------------
 
-    Matches ``wattn.sparse_window_attention(..., rpe=rpe)`` for rpe.r=None.
-    """
-    from u2mkd_tpu.ops import wattn
+def _bwd_q_kernel(kmin_ref, kmax_ref,
+                  qcat_ref, gcat_ref, auxq_ref, aux2q_ref,
+                  kcat_hbm, vcat_hbm, auxk_hbm,
+                  dqk_ref, mqr_ref,
+                  kcat_s, vcat_s, auxk_s, sems,
+                  *, cfg: FlashRPEConfig):
+    """Grid over query tiles: dq (raw + diff masses) and radial ds-masses."""
+    T, H, d = cfg.tile, cfg.h, cfg.d
+    wd, lr, sk, sv = cfg.wd, cfg.lr, cfg.sk, cfg.sv
+    t = pl.program_id(0)
+    t0 = kmin_ref[t] // T
+    t1 = (kmax_ref[t] - 1) // T + 1
 
-    assert rpe.r is None, "radial axis not yet folded into the kernel"
-    vcap, h, d = q.shape
-    g = rpe.grid_len
-    n_axes = 3
-    ag = n_axes * g
-    whi, wlo = wattn.window_keys(xyz, valid, window_size, shift=False)
+    qcat = qcat_ref[...]
+    gcat = gcat_ref[...]
+    auxq = auxq_ref[...]
+    aux2 = aux2q_ref[...]
+    rank_q = auxq[:, 0:1]
+    r_q = auxq[:, 1]
+    lse = aux2[:, 0:H]
+    dfac = aux2[:, 32:32 + H]
+
+    def cps(kt, slot):
+        return [
+            pltpu.make_async_copy(kcat_hbm.at[pl.ds(kt * T, T), :],
+                                  kcat_s.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(vcat_hbm.at[pl.ds(kt * T, T), :],
+                                  vcat_s.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(auxk_hbm.at[pl.ds(kt * T, T), :],
+                                  auxk_s.at[slot], sems.at[slot, 2]),
+        ]
+
+    dqk_ref[...] = jnp.zeros_like(dqk_ref)
+    mqr_ref[...] = jnp.zeros_like(mqr_ref)
+
+    for cp in cps(t0, 0):
+        cp.start()
+
+    def body(kt, _):
+        slot = jax.lax.rem(kt - t0, 2)
+
+        @pl.when(kt + 1 < t1)
+        def _():
+            for cp in cps(kt + 1, 1 - slot):
+                cp.start()
+
+        for cp in cps(kt, slot):
+            cp.wait()
+        kcat_blk = kcat_s[slot]
+        vcat_blk = vcat_s[slot]
+        auxk_blk = auxk_s[slot]
+        same = rank_q == auxk_blk[:, 0:1].T
+        oh3 = None
+        if cfg.radial:
+            bins = _exp_split_bins(r_q[:, None] - auxk_blk[:, 1][None, :],
+                                   cfg.a, lr)
+            oh3 = _radial_oh(bins, lr)
+        for hh in range(H):
+            s = _dot_nt(qcat[:, hh * sk:(hh + 1) * sk],
+                        kcat_blk[:, hh * sk:(hh + 1) * sk])
+            if cfg.radial:
+                o_q = d + 2 * wd
+                o_k = d + 2 * wd + lr
+                qr = qcat[:, hh * sk + o_q:hh * sk + o_q + lr].astype(jnp.float32)
+                kr = kcat_blk[:, hh * sk + o_k:hh * sk + o_k + lr].astype(jnp.float32)
+                s = s + _lkq(oh3, qr) + _lkk(oh3, kr)
+            p = jnp.where(same, jnp.exp(s - lse[:, hh:hh + 1]), 0.0)
+            dp = _dot_nt(gcat[:, hh * sv:(hh + 1) * sv],
+                         vcat_blk[:, hh * sv:(hh + 1) * sv])
+            if cfg.radial:
+                o_e = d + wd
+                edor = gcat[:, hh * sv + o_e:hh * sv + o_e + lr].astype(jnp.float32)
+                dp = dp + _lkq(oh3, edor)
+            ds = p * (dp - dfac[:, hh:hh + 1])
+            dsc = ds.astype(kcat_blk.dtype)
+            dqk = _dot_nn(dsc, kcat_blk[:, hh * sk:(hh + 1) * sk])
+            dqk_ref[:, hh * sk:(hh + 1) * sk] = (
+                dqk_ref[:, hh * sk:(hh + 1) * sk] + dqk.astype(dqk_ref.dtype))
+            if cfg.radial:
+                mqr_ref[:, hh * 128:hh * 128 + lr] = (
+                    mqr_ref[:, hh * 128:hh * 128 + lr]
+                    + _massq(oh3, ds).astype(mqr_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+
+
+def _bwd_k_kernel(kmin_ref, kmax_ref,
+                  kcat_ref, vcat_ref, auxk_ref,
+                  qcat_hbm, gcat_hbm, auxq_hbm, aux2q_hbm,
+                  dkq_ref, dv_ref, mkr_ref,
+                  qcat_s, gcat_s, auxq_s, aux2q_s, sems,
+                  *, cfg: FlashRPEConfig):
+    """Grid over key tiles: dk (raw + diff masses), dv, radial ds-masses.
+
+    Window runs are contiguous in the sorted order, so key tile t's partner
+    queries span the same [kmin[t], kmax[t]) range used by the forward."""
+    T, H, d = cfg.tile, cfg.h, cfg.d
+    wd, lr, sk, sv = cfg.wd, cfg.lr, cfg.sk, cfg.sv
+    t = pl.program_id(0)
+    t0 = kmin_ref[t] // T
+    t1 = (kmax_ref[t] - 1) // T + 1
+
+    kcat = kcat_ref[...]
+    vcat = vcat_ref[...]
+    auxk = auxk_ref[...]
+    rank_k = auxk[:, 0:1]
+    r_k = auxk[:, 1]
+
+    def cps(qt, slot):
+        return [
+            pltpu.make_async_copy(qcat_hbm.at[pl.ds(qt * T, T), :],
+                                  qcat_s.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(gcat_hbm.at[pl.ds(qt * T, T), :],
+                                  gcat_s.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(auxq_hbm.at[pl.ds(qt * T, T), :],
+                                  auxq_s.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(aux2q_hbm.at[pl.ds(qt * T, T), :],
+                                  aux2q_s.at[slot], sems.at[slot, 3]),
+        ]
+
+    dkq_ref[...] = jnp.zeros_like(dkq_ref)
+    dv_ref[...] = jnp.zeros_like(dv_ref)
+    mkr_ref[...] = jnp.zeros_like(mkr_ref)
+
+    for cp in cps(t0, 0):
+        cp.start()
+
+    def body(qt, _):
+        slot = jax.lax.rem(qt - t0, 2)
+
+        @pl.when(qt + 1 < t1)
+        def _():
+            for cp in cps(qt + 1, 1 - slot):
+                cp.start()
+
+        for cp in cps(qt, slot):
+            cp.wait()
+        qcat_blk = qcat_s[slot]
+        gcat_blk = gcat_s[slot]
+        auxq_blk = auxq_s[slot]
+        aux2_blk = aux2q_s[slot]
+        same = auxq_blk[:, 0:1] == rank_k.T            # [Tq, Tk]
+        lse = aux2_blk[:, 0:H]
+        dfac = aux2_blk[:, 32:32 + H]
+        oh3 = None
+        if cfg.radial:
+            bins = _exp_split_bins(auxq_blk[:, 1][:, None] - r_k[None, :],
+                                   cfg.a, lr)
+            oh3 = _radial_oh(bins, lr)
+        for hh in range(H):
+            s = _dot_nt(qcat_blk[:, hh * sk:(hh + 1) * sk],
+                        kcat[:, hh * sk:(hh + 1) * sk])
+            if cfg.radial:
+                o_q = d + 2 * wd
+                o_k = d + 2 * wd + lr
+                qr = qcat_blk[:, hh * sk + o_q:hh * sk + o_q + lr].astype(jnp.float32)
+                kr = kcat[:, hh * sk + o_k:hh * sk + o_k + lr].astype(jnp.float32)
+                s = s + _lkq(oh3, qr) + _lkk(oh3, kr)
+            p = jnp.where(same, jnp.exp(s - lse[:, hh:hh + 1]), 0.0)
+            dp = _dot_nt(gcat_blk[:, hh * sv:(hh + 1) * sv],
+                         vcat[:, hh * sv:(hh + 1) * sv])
+            if cfg.radial:
+                o_e = d + wd
+                edor = gcat_blk[:, hh * sv + o_e:hh * sv + o_e + lr].astype(jnp.float32)
+                dp = dp + _lkq(oh3, edor)
+            ds = p * (dp - dfac[:, hh:hh + 1])
+            pc = p.astype(gcat_blk.dtype)
+            dsc = ds.astype(qcat_blk.dtype)
+            dv = _dot_tn(pc, gcat_blk[:, hh * sv:(hh + 1) * sv])
+            dv_ref[:, hh * sv:(hh + 1) * sv] = (
+                dv_ref[:, hh * sv:(hh + 1) * sv] + dv.astype(dv_ref.dtype))
+            dkq = _dot_tn(dsc, qcat_blk[:, hh * sk:(hh + 1) * sk])
+            dkq_ref[:, hh * sk:(hh + 1) * sk] = (
+                dkq_ref[:, hh * sk:(hh + 1) * sk] + dkq.astype(dkq_ref.dtype))
+            if cfg.radial:
+                mkr_ref[:, hh * 128:hh * 128 + lr] = (
+                    mkr_ref[:, hh * 128:hh * 128 + lr]
+                    + _massk(oh3, ds).astype(mkr_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(t0, t1, body, 0)
+
+
+# -- XLA-side builders --------------------------------------------------------
+
+def _take0(tab, idx, limit):
+    """take_along_axis on the last axis with out-of-range -> 0 (matches the
+    XLA path's one-hot semantics for out-of-grid shift indices)."""
+    ok = (idx >= 0) & (idx < limit)
+    g = jnp.take_along_axis(tab, jnp.clip(idx, 0, limit - 1), axis=-1)
+    return jnp.where(ok, g, 0.0)
+
+
+def _shift_idx_q(quant, cfg, length):
+    """[N, A, length] index q_i - l + G - 1 (q-side shift window)."""
+    ar = jnp.arange(length)[None, None, :]
+    return quant[:, :cfg.n_diff, None] - ar + cfg.g - 1
+
+
+def _shift_idx_k(quant, cfg, length):
+    """[N, A, length] index l - q_j + G - 1 (k-side shift window)."""
+    ar = jnp.arange(length)[None, None, :]
+    return ar - quant[:, :cfg.n_diff, None] + cfg.g - 1
+
+
+def _proj_shift(x, table, idx, cfg):
+    """Per-element shifted table projections.
+
+    x [N, h, d]; table [L2, 3, h, d] (first n_diff slots used);
+    idx [N, A, G] -> [N, h, A*G] (head-major, axis-then-g inner)."""
+    n = x.shape[0]
+    xt = jnp.einsum("ihd,lahd->iahl", x, table[:, :cfg.n_diff])  # [N,A,h,L2]
+    idx_b = jnp.broadcast_to(idx[:, :, None, :],
+                             (n, cfg.n_diff, cfg.h, cfg.g))
+    sh = _take0(xt, idx_b, cfg.l2)                                # [N,A,h,G]
+    return jnp.moveaxis(sh, 1, 2).reshape(n, cfg.h, cfg.wd)
+
+
+def _onehot_diff(quant, cfg, dtype):
+    oh = jax.nn.one_hot(
+        jnp.clip(quant[:, :cfg.n_diff], 0, cfg.g - 1), cfg.g, dtype=dtype
+    )
+    return oh.reshape(quant.shape[0], cfg.wd)                     # [N, wd]
+
+
+def _build_cats(qs, ks, vs, tq, tk, tv, quant, cfg, *, want_v=True):
+    """Build the zero-padded per-head segment arrays (see module comment)."""
+    from u2mkd_tpu.ops.precision import cast_compute
+
+    n = qs.shape[0]
+    d, wd, lr, sk, sv = cfg.d, cfg.wd, cfg.lr, cfg.sk, cfg.sv
+    dt = cast_compute(qs).dtype
+    qs, ks, vs = cast_compute(qs, ks, vs)
+    idx_q = _shift_idx_q(quant, cfg, cfg.g)
+    idx_k = _shift_idx_k(quant, cfg, cfg.g)
+    qsh = _proj_shift(qs, cast_compute(tq), idx_q, cfg)
+    ksh = _proj_shift(ks, cast_compute(tk), idx_k, cfg)
+    ohd = _onehot_diff(quant, cfg, dt)
+    ohd_h = jnp.broadcast_to(ohd[:, None], (n, cfg.h, wd))
+
+    qcat = jnp.zeros((n, cfg.h, sk), dt)
+    qcat = qcat.at[:, :, :d].set(qs)
+    qcat = qcat.at[:, :, d:d + wd].set(qsh.astype(dt))
+    qcat = qcat.at[:, :, d + wd:d + 2 * wd].set(ohd_h)
+    kcat = jnp.zeros((n, cfg.h, sk), dt)
+    kcat = kcat.at[:, :, :d].set(ks)
+    kcat = kcat.at[:, :, d:d + wd].set(ohd_h)
+    kcat = kcat.at[:, :, d + wd:d + 2 * wd].set(ksh.astype(dt))
+    if cfg.radial:
+        qr = jnp.einsum("ihd,lhd->ihl", qs,
+                        cast_compute(tq[:, cfg.n_diff]))          # [N,h,lr]
+        kr = jnp.einsum("ihd,lhd->ihl", ks,
+                        cast_compute(tk[:, cfg.n_diff]))
+        o_q = d + 2 * wd
+        qcat = qcat.at[:, :, o_q:o_q + lr].set(qr.astype(dt))
+        kcat = kcat.at[:, :, o_q + lr:o_q + 2 * lr].set(kr.astype(dt))
+    vcat = None
+    if want_v:
+        vcat = jnp.zeros((n, cfg.h, sv), dt)
+        vcat = vcat.at[:, :, :d].set(vs)
+        vcat = vcat.at[:, :, d:d + wd].set(ohd_h)
+    return (qcat.reshape(n, cfg.h * sk), kcat.reshape(n, cfg.h * sk),
+            None if vcat is None else vcat.reshape(n, cfg.h * sv))
+
+
+def _build_gcat(do, tv, quant, cfg, dt):
+    """Gradient-side segment [do | edo | edor | 0]: edo/edor are the do-side
+    V-table projections (mirror of qsh/qr)."""
+    n = do.shape[0]
+    d, wd, lr, sv = cfg.d, cfg.wd, cfg.lr, cfg.sv
+    idx_q = _shift_idx_q(quant, cfg, cfg.g)
+    edo = _proj_shift(do, tv.astype(do.dtype), idx_q, cfg)        # [N,h,wd]
+    gcat = jnp.zeros((n, cfg.h, sv), dt)
+    gcat = gcat.at[:, :, :d].set(do.astype(dt))
+    gcat = gcat.at[:, :, d:d + wd].set(edo.astype(dt))
+    if cfg.radial:
+        edor = jnp.einsum("ihd,lhd->ihl", do,
+                          tv[:, cfg.n_diff].astype(do.dtype))
+        gcat = gcat.at[:, :, d + wd:d + wd + lr].set(edor.astype(dt))
+    return gcat.reshape(n, cfg.h * sv)
+
+
+def _shifted_mass_q(mass, quant, cfg):
+    """w[i,h,a,l] = mass[i,h,a, q_i^a - l + G - 1] (0 out of range).
+
+    mass [N, h, A, G] -> [N, h, A, L2]. Used for the V-table forward
+    epilogue and for every q-side table gradient (the 'shifted-mass' trick:
+    exactly the transpose of the forward shifted projections)."""
+    n = mass.shape[0]
+    idx = _shift_idx_q(quant, cfg, cfg.l2)                        # [N,A,L2]
+    idx_b = jnp.broadcast_to(idx[:, None], (n, cfg.h, cfg.n_diff, cfg.l2))
+    return _take0(mass, idx_b, cfg.g)
+
+
+def _shifted_mass_k(mass, quant, cfg):
+    """w[j,h,a,l] = mass[j,h,a, l + q_j^a - (G - 1)] (0 out of range)."""
+    n = mass.shape[0]
+    ar = jnp.arange(cfg.l2)[None, None, :]
+    idx = ar + quant[:, :cfg.n_diff, None] - (cfg.g - 1)          # [N,A,L2]
+    idx_b = jnp.broadcast_to(idx[:, None], (n, cfg.h, cfg.n_diff, cfg.l2))
+    return _take0(mass, idx_b, cfg.g)
+
+
+def _grid_ranges(seg_start, seg_end, tile, pad_to):
+    n_tiles = pad_to // tile
+    firsts = seg_start[::tile][:n_tiles]
+    lasts = seg_end[tile - 1::tile][:n_tiles]
+    kmin = firsts.astype(jnp.int32)
+    kmax = jnp.maximum(lasts.astype(jnp.int32), kmin + 1)
+    return kmin, kmax
+
+
+# -- pallas_call wrappers ----------------------------------------------------
+
+def _call_fwd(cfg, qcat, kcat, vcat, aux, kmin, kmax):
+    n = qcat.shape[0]
+    T, H = cfg.tile, cfg.h
+    sk, sv = cfg.sk, cfg.sv
+    dt = qcat.dtype
+
+    def blk(width):
+        return pl.BlockSpec((T, width), lambda t, *_: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // T,),
+        in_specs=[
+            blk(H * sk),                       # qcat
+            blk(128),                          # auxq
+            pl.BlockSpec(memory_space=pl.ANY),  # kcat
+            pl.BlockSpec(memory_space=pl.ANY),  # vcat
+            pl.BlockSpec(memory_space=pl.ANY),  # auxk
+        ],
+        out_specs=(blk(H * sv), blk(H * 128), blk(128)),
+        scratch_shapes=[
+            pltpu.VMEM((2, T, H * sk), dt),
+            pltpu.VMEM((2, T, H * sv), dt),
+            pltpu.VMEM((2, T, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, H * sv), jnp.float32),   # out | massd
+            jax.ShapeDtypeStruct((n, H * 128), jnp.float32),  # radial mass
+            jax.ShapeDtypeStruct((n, 128), jnp.float32),      # lse
+        ),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+    )(kmin, kmax, qcat, aux, kcat, vcat, aux)
+
+
+def _call_bwd_q(cfg, qcat, kcat, vcat, gcat, aux, aux2, kmin, kmax):
+    n = qcat.shape[0]
+    T, H = cfg.tile, cfg.h
+    sk, sv = cfg.sk, cfg.sv
+    dt = qcat.dtype
+
+    def blk(width):
+        return pl.BlockSpec((T, width), lambda t, *_: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // T,),
+        in_specs=[
+            blk(H * sk), blk(H * sv), blk(128), blk(128),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(blk(H * sk), blk(H * 128)),
+        scratch_shapes=[
+            pltpu.VMEM((2, T, H * sk), dt),
+            pltpu.VMEM((2, T, H * sv), dt),
+            pltpu.VMEM((2, T, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_q_kernel, cfg=cfg),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, H * sk), jnp.float32),   # ds@kseg
+            jax.ShapeDtypeStruct((n, H * 128), jnp.float32),  # radial ds-mass
+        ),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+    )(kmin, kmax, qcat, gcat, aux, aux2, kcat, vcat, aux)
+
+
+def _call_bwd_k(cfg, qcat, kcat, vcat, gcat, aux, aux2, kmin, kmax):
+    n = qcat.shape[0]
+    T, H = cfg.tile, cfg.h
+    sk, sv = cfg.sk, cfg.sv
+    dt = qcat.dtype
+
+    def blk(width):
+        return pl.BlockSpec((T, width), lambda t, *_: (t, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n // T,),
+        in_specs=[
+            blk(H * sk), blk(H * sv), blk(128),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(blk(H * sk), blk(H * sv), blk(H * 128)),
+        scratch_shapes=[
+            pltpu.VMEM((2, T, H * sk), dt),
+            pltpu.VMEM((2, T, H * sv), dt),
+            pltpu.VMEM((2, T, 128), jnp.float32),
+            pltpu.VMEM((2, T, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_k_kernel, cfg=cfg),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, H * sk), jnp.float32),   # ds^T@qseg
+            jax.ShapeDtypeStruct((n, H * sv), jnp.float32),   # p^T@gseg (dv)
+            jax.ShapeDtypeStruct((n, H * 128), jnp.float32),  # radial mass
+        ),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+    )(kmin, kmax, kcat, vcat, aux, qcat, gcat, aux, aux2)
+
+
+# -- custom VJP ---------------------------------------------------------------
+
+def _f0(x):
+    """float0 cotangent for integer primals."""
+    return onp.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_rpe_sorted(cfg, qs, ks, vs, tq, tk, tv, quant, aux, kmin, kmax):
+    """Window attention with contextual RPE over a window-sorted, padded
+    sequence. Returns f32 [N, h, d]."""
+    out, _ = _flash_rpe_fwd(cfg, qs, ks, vs, tq, tk, tv, quant, aux,
+                            kmin, kmax)
+    return out
+
+
+def _flash_rpe_fwd(cfg, qs, ks, vs, tq, tk, tv, quant, aux, kmin, kmax):
+    n = qs.shape[0]
+    qcat, kcat, vcat = _build_cats(qs, ks, vs, tq, tk, tv, quant, cfg)
+    ov, mr, lse = _call_fwd(cfg, qcat, kcat, vcat, aux, kmin, kmax)
+    ovh = ov.reshape(n, cfg.h, cfg.sv)
+    out = ovh[:, :, :cfg.d]
+    massd = ovh[:, :, cfg.d:cfg.d + cfg.wd].reshape(
+        n, cfg.h, cfg.n_diff, cfg.g)
+    # pair-free V-table epilogue (attention_step2_with_rel_pos_value parity)
+    wv = _shifted_mass_q(massd, quant, cfg)
+    out = out + jnp.einsum(
+        "ihal,lahd->ihd", wv, _f32(tv[:, :cfg.n_diff]))
+    massr = None
+    if cfg.radial:
+        massr = mr.reshape(n, cfg.h, 128)[:, :, :cfg.lr]
+        out = out + jnp.einsum(
+            "ihl,lhd->ihd", massr, _f32(tv[:, cfg.n_diff]))
+    res = (qs, ks, vs, tq, tk, tv, quant, aux, kmin, kmax,
+           qcat, kcat, vcat, lse, massd, massr, out)
+    return out, res
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+def _flash_rpe_bwd(cfg, res, g):
+    (qs, ks, vs, tq, tk, tv, quant, aux, kmin, kmax,
+     qcat, kcat, vcat, lse, massd, massr, out) = res
+    n, h, d = qs.shape[0], cfg.h, cfg.d
+    a_r = cfg.n_diff   # radial table slot
+    do = g.astype(jnp.float32)
+    dfac = jnp.sum(do * out, axis=-1)                  # [N, h]
+    aux2 = jnp.zeros((n, 128), jnp.float32)
+    aux2 = aux2.at[:, 0:h].set(lse[:, 0:h])
+    aux2 = aux2.at[:, 32:32 + h].set(dfac)
+    gcat = _build_gcat(do, _f32(tv), quant, cfg, qcat.dtype)
+
+    dqk, mqr = _call_bwd_q(cfg, qcat, kcat, vcat, gcat, aux, aux2,
+                           kmin, kmax)
+    dkq, dvv, mkr = _call_bwd_k(cfg, qcat, kcat, vcat, gcat, aux, aux2,
+                                kmin, kmax)
+
+    qsf, ksf = _f32(qs), _f32(ks)
+    dqk = dqk.reshape(n, h, cfg.sk)
+    dq = dqk[:, :, :d]
+    sdmq = dqk[:, :, d:d + cfg.wd].reshape(n, h, cfg.n_diff, cfg.g)
+    wq = _shifted_mass_q(sdmq, quant, cfg)
+    dq = dq + jnp.einsum("ihal,lahd->ihd", wq, _f32(tq[:, :cfg.n_diff]))
+    dtq = jnp.zeros(tq.shape, jnp.float32)
+    dtq = dtq.at[:, :cfg.n_diff].set(
+        jnp.einsum("ihd,ihal->lahd", qsf, wq))
+
+    dkq = dkq.reshape(n, h, cfg.sk)
+    dk = dkq[:, :, :d]
+    sdmk = dkq[:, :, d + cfg.wd:d + 2 * cfg.wd].reshape(
+        n, h, cfg.n_diff, cfg.g)
+    wk = _shifted_mass_k(sdmk, quant, cfg)
+    dk = dk + jnp.einsum("jhal,lahd->jhd", wk, _f32(tk[:, :cfg.n_diff]))
+    dtk = jnp.zeros(tk.shape, jnp.float32)
+    dtk = dtk.at[:, :cfg.n_diff].set(
+        jnp.einsum("jhd,jhal->lahd", ksf, wk))
+
+    dv = dvv.reshape(n, h, cfg.sv)[:, :, :d]
+
+    wv = _shifted_mass_q(massd, quant, cfg)
+    dtv = jnp.zeros(tv.shape, jnp.float32)
+    dtv = dtv.at[:, :cfg.n_diff].set(
+        jnp.einsum("ihd,ihal->lahd", do, wv))
+
+    if cfg.radial:
+        sdmqr = mqr.reshape(n, h, 128)[:, :, :cfg.lr]
+        sdmkr = mkr.reshape(n, h, 128)[:, :, :cfg.lr]
+        dq = dq + jnp.einsum("ihl,lhd->ihd", sdmqr, _f32(tq[:, a_r]))
+        dk = dk + jnp.einsum("jhl,lhd->jhd", sdmkr, _f32(tk[:, a_r]))
+        dtq = dtq.at[:, a_r].set(jnp.einsum("ihd,ihl->lhd", qsf, sdmqr))
+        dtk = dtk.at[:, a_r].set(jnp.einsum("jhd,jhl->lhd", ksf, sdmkr))
+        dtv = dtv.at[:, a_r].set(jnp.einsum("ihd,ihl->lhd", do, massr))
+
+    return (dq.astype(qs.dtype), dk.astype(ks.dtype), dv.astype(vs.dtype),
+            dtq.astype(tq.dtype), dtk.astype(tk.dtype), dtv.astype(tv.dtype),
+            _f0(quant), jnp.zeros_like(aux), _f0(kmin), _f0(kmax))
+
+
+def _flash_rpe_fwd_rule(cfg, *args):
+    return _flash_rpe_fwd(cfg, *args)
+
+
+_flash_rpe_sorted.defvjp(_flash_rpe_fwd_rule, _flash_rpe_bwd)
+
+
+# -- public wrappers ----------------------------------------------------------
+
+def _sorted_setup(whi, wlo, valid, tile):
+    """Sort by window key; dead rows (invalid or pad) get one unique window
+    each so their dynamic key ranges stay minimal. Returns
+    (order, rank_f32 [pad_to], kmin, kmax, pad_to)."""
+    from u2mkd_tpu.ops import hashing
+
+    vcap = whi.shape[0]
     order = jax.lax.sort(
         (whi, wlo, jnp.arange(vcap, dtype=jnp.int32)), num_keys=2,
         is_stable=True,
     )[2]
-    qs, ks, vs = q[order], k[order], v[order]
-    quant_s = rpe.quant[order]
     whi_s, wlo_s = whi[order], wlo[order]
-
-    # per-element shifted table projections (O(N), fwd-only gathers)
-    shift_idx = (quant_s[:, :, None] - jnp.arange(g)[None, None, :] + g - 1)
-    q_tab = jnp.einsum("ihd,lahd->iahl", qs, rpe.table_q)  # [N, 3, h, L2]
-    q_shift = jnp.take_along_axis(q_tab, shift_idx[:, :, None, :], axis=-1)
-    # -> [N, 3, h, G]; k side uses the reversed shift
-    shift_idx_k = (jnp.arange(g)[None, None, :] - quant_s[:, :, None] + g - 1)
-    k_tab = jnp.einsum("ihd,lahd->iahl", ks, rpe.table_k)
-    k_shift = jnp.take_along_axis(k_tab, shift_idx_k[:, :, None, :], axis=-1)
-
-    def flat_sh(x):  # [N, 3, h, G] -> [N, h*3G] (h-major, axis-inner)
-        return jnp.moveaxis(x, 1, 2).reshape(vcap, h * ag)
-
-    s_cols = h * ag
-    s_pad = -(-s_cols // 128) * 128
-    hd = h * d
-    hd_pad = -(-hd // 128) * 128
+    valid_s = valid[order]
     pad_to = -(-vcap // tile) * tile
     padn = pad_to - vcap
-
-    def padrows(x, fill=0):
-        return jnp.pad(x, [(0, padn)] + [(0, 0)] * (x.ndim - 1),
-                       constant_values=fill)
-
-    def padlane(x, width):
-        return jnp.pad(x, ((0, 0), (0, width - x.shape[1])))
-
-    qf = padrows(padlane(qs.reshape(vcap, hd), hd_pad))
-    kf = padrows(padlane(ks.reshape(vcap, hd), hd_pad))
-    vf = padrows(padlane(vs.reshape(vcap, hd), hd_pad))
-    qshf = padrows(padlane(flat_sh(q_shift), s_pad))
-    kshf = padrows(padlane(flat_sh(k_shift), s_pad))
-
+    rows = jnp.arange(pad_to, dtype=jnp.uint32)
+    live = jnp.pad(valid_s, (0, padn), constant_values=False)
+    whi_p = jnp.where(live, jnp.pad(whi_s, (0, padn)), hashing.INVALID_KEY)
+    wlo_p = jnp.where(live, jnp.pad(wlo_s, (0, padn)), rows)
+    seg_start, seg_end = window_bounds_from_sorted(whi_p, wlo_p)
     new = jnp.concatenate(
         [jnp.ones((1,), bool),
-         (whi_s[1:] != whi_s[:-1]) | (wlo_s[1:] != wlo_s[:-1])]
+         (whi_p[1:] != whi_p[:-1]) | (wlo_p[1:] != wlo_p[:-1])]
     )
-    rank = jnp.cumsum(new.astype(jnp.int32)) - 1
-    meta = jnp.zeros((pad_to, 128), jnp.int32)
-    meta = meta.at[:vcap, 0].set(rank)
-    meta = meta.at[:vcap, 1:4].set(quant_s)
-    if padn:
-        meta = meta.at[vcap:, 0].set(-7)  # padding rows: unique window rank
+    rank = (jnp.cumsum(new.astype(jnp.int32)) - 1).astype(jnp.float32)
+    kmin, kmax = _grid_ranges(seg_start, seg_end, tile, pad_to)
+    return order, rank, kmin, kmax, pad_to
 
-    seg_start, seg_end = window_bounds_from_sorted(whi_s, wlo_s)
-    n_tiles = pad_to // tile
-    firsts = padrows(seg_start)[::tile][:n_tiles]
-    lasts = padrows(seg_end, fill=pad_to)[tile - 1::tile][:n_tiles]
-    kmin = firsts.astype(jnp.int32)
-    kmax = jnp.maximum(lasts.astype(jnp.int32), kmin + 1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile, hd_pad), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),   # q tile
-            pl.BlockSpec((tile, s_pad), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),   # q_shift tile
-            pl.BlockSpec((tile, 128), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),   # meta (query) tile
-            pl.BlockSpec(memory_space=pl.ANY),        # k full
-            pl.BlockSpec(memory_space=pl.ANY),        # v full
-            pl.BlockSpec(memory_space=pl.ANY),        # k_shift full
-            pl.BlockSpec(memory_space=pl.ANY),        # meta full
-        ],
-        out_specs=(
-            pl.BlockSpec((tile, hd_pad), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, s_pad), lambda t, *_: (t, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((tile, hd_pad), q.dtype),
-            pltpu.VMEM((tile, hd_pad), q.dtype),
-            pltpu.VMEM((tile, s_pad), q.dtype),
-            pltpu.VMEM((tile, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+def _flash_from_keys(q, k, v, whi, wlo, valid, rpe, tile, interpret):
+    vcap, h, d = q.shape
+    radial = rpe.r is not None
+    g = int(rpe.grid_len)
+    cfg = FlashRPEConfig(
+        tile=tile, h=h, d=d, g=g, l2=int(rpe.table_q.shape[0]),
+        n_diff=2 if radial else 3, radial=radial,
+        lr=2 * g if radial else 0, a=float(rpe.a), interpret=interpret,
     )
-    out, m_mass = pl.pallas_call(
-        functools.partial(_kernel_rpe, tile=tile, n_heads=h, head_dim=d,
-                          n_axes=n_axes, grid_len=g),
-        out_shape=(
-            jax.ShapeDtypeStruct((pad_to, hd_pad), q.dtype),
-            jax.ShapeDtypeStruct((pad_to, s_pad), q.dtype),
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(kmin, kmax, qf, qshf, meta, kf, vf, kshf, meta)
-    out = out[:vcap, :hd].reshape(vcap, h, d)
-    m_mass = m_mass[:vcap, :s_cols].reshape(vcap, h, n_axes, g)
+    order, rank, kmin, kmax, pad_to = _sorted_setup(whi, wlo, valid, tile)
+    padn = pad_to - vcap
 
-    # pair-free V-RPE epilogue: out += sum_ax sum_g m[i,h,ax,g] *
-    # Tv[q_i_ax - g + G - 1, ax, h, :]
-    tv_shift = rpe.table_v.transpose(1, 0, 2, 3)[  # [3, L2, h, d]
-        jnp.arange(n_axes)[None, :, None], shift_idx
-    ]  # [N, 3, G, h, d]
-    out = out + jnp.einsum("ihag,iaghd->ihd", m_mass, tv_shift)
+    def pz(x):
+        return jnp.pad(x, [(0, padn)] + [(0, 0)] * (x.ndim - 1))
 
+    qs, ks, vs = pz(q[order]), pz(k[order]), pz(v[order])
+    quant_s = pz(rpe.quant[order])
+    aux = jnp.zeros((pad_to, 128), jnp.float32).at[:, 0].set(rank)
+    if radial:
+        aux = aux.at[:, 1].set(pz(rpe.r[order]).astype(jnp.float32))
+    out_s = _flash_rpe_sorted(cfg, qs, ks, vs, rpe.table_q, rpe.table_k,
+                              rpe.table_v, quant_s, aux, kmin, kmax)
+    out = out_s[:vcap]
     res = jnp.zeros_like(out).at[order].set(out)
-    return jnp.where(valid[:, None, None], res, 0.0)
+    return jnp.where(valid[:, None, None], res, 0.0).astype(q.dtype)
+
+
+def sparse_window_attention_flash(
+    q, k, v, xyz, valid, window_size, shift: bool = False,
+    rpe=None, tile: int = 128, interpret: bool = False,
+):
+    """Drop-in flash counterpart of ``wattn.sparse_window_attention`` with
+    contextual RPE (both branches), exact at any window occupancy and
+    trainable end to end (custom VJP). Per-sample [V, h, d] inputs."""
+    assert rpe is not None, "use sparse_window_attention_pallas for no-RPE"
+    whi, wlo = _wattn.window_keys(xyz, valid, window_size, shift)
+    return _flash_from_keys(q, k, v, whi, wlo, valid, rpe, tile, interpret)
+
+
+def sparse_window_attention_flash_batched(
+    q, k, v, xyz, valid, window_size, shift: bool = False,
+    rpe=None, tile: int = 128, interpret: bool = False,
+):
+    """Batched variant: [B, V, h, d]. The batch is flattened into one long
+    window-sorted sequence (window keys made batch-unique) so the whole batch
+    runs as ONE kernel launch — no vmap over pallas_call."""
+    from u2mkd_tpu.ops import hashing
+
+    assert rpe is not None
+    b, vcap = q.shape[:2]
+    assert b < 32768, "batch tag uses 15 bits of the window key"
+    whi, wlo = jax.vmap(
+        lambda x, m: _wattn.window_keys(x, m, window_size, shift)
+    )(xyz, valid)
+    boff = (jnp.arange(b, dtype=jnp.uint32) << 16)[:, None]
+    whi = jnp.where(valid, whi + boff, hashing.INVALID_KEY)
+
+    def flat(x):
+        return x.reshape((b * vcap,) + x.shape[2:])
+
+    rpe_flat = rpe._replace(
+        quant=flat(rpe.quant),
+        r=None if rpe.r is None else flat(rpe.r),
+    )
+    out = _flash_from_keys(flat(q), flat(k), flat(v), flat(whi), flat(wlo),
+                           flat(valid), rpe_flat, tile, interpret)
+    return out.reshape(b, vcap, *out.shape[1:])

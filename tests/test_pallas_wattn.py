@@ -179,3 +179,55 @@ def test_flash_batched_matches_per_sample(rng):
             jnp.asarray(xyzs[i]), jnp.asarray(valids[i]), (1.5, 1.5, 1.5),
             rpe=rpe_i, tile=64, interpret=True))
         np.testing.assert_allclose(got[i], exp, atol=1e-5)
+
+
+def test_sphereformer_block_flash_parity(rng):
+    """SphereFormerBlock(use_flash=True) must match the XLA-path block on
+    the same parameters — forward and parameter gradients. The XLA path's
+    sphere band is capacity-truncated, so the fixture keeps windows small
+    enough that both paths are exact."""
+    import flax.linen as nn  # noqa: F401
+    from u2mkd_tpu.models.sphereformer import SphereFormerBlock
+
+    b, vcap, c = 2, 96, 16
+    feats = rng.randn(b, vcap, c).astype(np.float32)
+    xyz = (rng.rand(b, vcap, 3) * 8 + 1.0).astype(np.float32)
+    mask = rng.rand(b, vcap) > 0.2
+
+    def block(use_flash):
+        return SphereFormerBlock(
+            dim=c, num_heads=2, window_size=(1.5, 1.5, 1.5),
+            window_size_sphere=(30.0, 30.0, 120.0),
+            quant_size=(1.5 / 6, 1.5 / 6, 1.5 / 6),
+            quant_size_sphere=(5.0, 5.0, 5.0),
+            a=0.05, band_sphere=4, tile=64, use_flash=use_flash,
+        )
+
+    params = block(False).init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(feats), jnp.asarray(xyz), jnp.asarray(mask), False,
+    )
+
+    outs, grads = {}, {}
+    for flash in (False, True):
+        def loss_fn(p):
+            out = block(flash).apply(
+                p, jnp.asarray(feats), jnp.asarray(xyz), jnp.asarray(mask),
+                False,
+            )
+            return jnp.sum(out ** 2), out
+
+        (l, out), gr = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        outs[flash] = np.asarray(out)
+        grads[flash] = gr
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-4)
+    flat_t = jax.tree_util.tree_leaves_with_path(grads[True])
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(grads[False]))
+    # dict over paths to compare matching leaves
+    flat_f = {jax.tree_util.keystr(kp): v
+              for kp, v in jax.tree_util.tree_leaves_with_path(grads[False])}
+    for kp, v in flat_t:
+        key = jax.tree_util.keystr(kp)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_f[key]), atol=5e-4,
+            err_msg=f"grad mismatch at {key}")

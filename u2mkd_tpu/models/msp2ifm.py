@@ -57,6 +57,7 @@ class SPVCNNSwiftNetMSP2IFM(nn.Module):
     head_dim: int = 16
     adapt_out_ch: Optional[int] = None  # teacher cs[4] for KD (TSD wrapper)
     run_pix_decoder: bool = True
+    pallas_attention: bool = False
 
     def _cs(self):
         return [int(self.cr * x) for x in self.base_channels]
@@ -124,6 +125,7 @@ class SPVCNNSwiftNetMSP2IFM(nn.Module):
                     window_size=tuple(ws), window_size_sphere=tuple(wss),
                     quant_size=tuple(qs), quant_size_sphere=tuple(qss),
                     drop_path=dpr[idx + 1], a=self.sphere_a, axis_name=ax,
+                    use_flash=self.pallas_attention,
                     name=f"sphereformer{idx + 1}",
                 )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train)
             wsc, wss_scale = self.window_size_scale

@@ -42,6 +42,7 @@ class SPVCNN(nn.Module):
     sphere_a: float = 0.0125
     head_dim: int = 16
     return_point_feats: bool = False
+    pallas_attention: bool = False  # flash kernel path (exact, fast compile)
 
     @nn.compact
     def __call__(self, pfeats: jax.Array, plumbing: UNetPlumbing, train: bool):
@@ -98,6 +99,7 @@ class SPVCNN(nn.Module):
                     drop_path=dpr[idx + 1],
                     a=self.sphere_a,
                     axis_name=ax,
+                    use_flash=self.pallas_attention,
                     name=f"sphereformer{idx + 1}",
                 )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train)
                 wsc, wss_scale = self.window_size_scale

@@ -39,6 +39,7 @@ class TSDFull(nn.Module):
     sphere_a: float = 0.0125
     head_dim: int = 16
     run_pix_decoder: bool = True
+    pallas_attention: bool = False
 
     def setup(self):
         teacher_cs4 = int(self.cr_t * 256)
@@ -50,7 +51,7 @@ class TSDFull(nn.Module):
             quant_size_sphere=self.quant_size_sphere,
             window_size_scale=self.window_size_scale,
             drop_path_rate=self.drop_path_rate, sphere_a=self.sphere_a,
-            head_dim=self.head_dim,
+            head_dim=self.head_dim, pallas_attention=self.pallas_attention,
         )
         self.model_s = SPVCNNSwiftNetMSP2IFM(
             cr=self.cr, in_channel=self.in_channel, adapt_out_ch=teacher_cs4,

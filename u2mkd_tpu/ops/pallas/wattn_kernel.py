@@ -462,9 +462,8 @@ def _fwd_kernel(kmin_ref, kmax_ref,
     m, l = jax.lax.fori_loop(t0, t1, body1, (m0, l0))
     lse = m + jnp.log(jnp.maximum(l, 1e-30))           # [T, H]
 
-    # pass 2: normalized accumulation straight into the output refs
-    ov_ref[...] = jnp.zeros_like(ov_ref)
-    mr_ref[...] = jnp.zeros_like(mr_ref)
+    # pass 2: normalized accumulation in wide-concat carries (one final
+    # write; per-head ref read-modify-writes inside the loop do not pipeline)
     lse_ref[...] = jnp.concatenate(
         [lse, jnp.zeros((T, 128 - H), jnp.float32)], axis=1
     ).astype(lse_ref.dtype)
@@ -472,7 +471,8 @@ def _fwd_kernel(kmin_ref, kmax_ref,
     for cp in cps(t0, 0, True):
         cp.start()
 
-    def body2(kt, _):
+    def body2(kt, carry):
+        acc_ov, acc_mr = carry
         slot = jax.lax.rem(kt - t0, 2)
 
         @pl.when(kt + 1 < t1)
@@ -487,20 +487,27 @@ def _fwd_kernel(kmin_ref, kmax_ref,
         auxk_blk = auxk_s[slot]
         same = rank_q == auxk_blk[:, 0:1].T
         oh3 = radial_oh(auxk_blk)
+        ovs, mrs = [], []
         for hh in range(H):
             s = scores(hh, kcat_blk, oh3)
             p = jnp.where(same, jnp.exp(s - lse[:, hh:hh + 1]), 0.0)
             av = _dot_nn(p.astype(vcat_blk.dtype),
                          vcat_blk[:, hh * sv:(hh + 1) * sv])
-            ov_ref[:, hh * sv:(hh + 1) * sv] = (
-                ov_ref[:, hh * sv:(hh + 1) * sv] + av.astype(ov_ref.dtype))
+            ovs.append(av)
             if cfg.radial:
-                mr_ref[:, hh * 128:hh * 128 + lr] = (
-                    mr_ref[:, hh * 128:hh * 128 + lr]
-                    + _massq(oh3, p).astype(mr_ref.dtype))
-        return 0
+                m_r = _massq(oh3, p)
+                mrs.append(jnp.pad(m_r, ((0, 0), (0, 128 - lr)))
+                           if lr < 128 else m_r)
+        acc_ov = acc_ov + jnp.concatenate(ovs, axis=1)
+        if cfg.radial:
+            acc_mr = acc_mr + jnp.concatenate(mrs, axis=1)
+        return acc_ov, acc_mr
 
-    jax.lax.fori_loop(t0, t1, body2, 0)
+    ov0 = jnp.zeros((T, H * sv), jnp.float32)
+    mr0 = jnp.zeros((T, H * 128), jnp.float32)
+    ov, mr = jax.lax.fori_loop(t0, t1, body2, (ov0, mr0))
+    ov_ref[...] = ov.astype(ov_ref.dtype)
+    mr_ref[...] = mr.astype(mr_ref.dtype)
 
 
 # -- backward kernels --------------------------------------------------------
@@ -691,36 +698,37 @@ def _bwd_k_kernel(kmin_ref, kmax_ref,
 
 # -- XLA-side builders --------------------------------------------------------
 
-def _take0(tab, idx, limit):
-    """take_along_axis on the last axis with out-of-range -> 0 (matches the
-    XLA path's one-hot semantics for out-of-grid shift indices)."""
-    ok = (idx >= 0) & (idx < limit)
-    g = jnp.take_along_axis(tab, jnp.clip(idx, 0, limit - 1), axis=-1)
-    return jnp.where(ok, g, 0.0)
+def _window_take(y, u, out_len, max_u):
+    """y[..., u : u + out_len] with a PER-ROW offset u (int, broadcastable to
+    y.shape[:-1]), via bit-decomposed conditional rolls.
+
+    Per-element gathers (take_along_axis) serialize on TPU — they were 10x
+    the kernel's own cost. A dynamic window slice with bounded offset is
+    instead log2(max_u) lane rotations + selects, fully vectorized.
+    Requires 0 <= u <= max_u and u + out_len <= y.shape[-1] pointwise."""
+    for j in range(int(max_u).bit_length()):
+        bit = ((u >> j) & 1).astype(bool)
+        y = jnp.where(bit[..., None], jnp.roll(y, -(1 << j), axis=-1), y)
+    return y[..., :out_len]
 
 
-def _shift_idx_q(quant, cfg, length):
-    """[N, A, length] index q_i - l + G - 1 (q-side shift window)."""
-    ar = jnp.arange(length)[None, None, :]
-    return quant[:, :cfg.n_diff, None] - ar + cfg.g - 1
-
-
-def _shift_idx_k(quant, cfg, length):
-    """[N, A, length] index l - q_j + G - 1 (k-side shift window)."""
-    ar = jnp.arange(length)[None, None, :]
-    return ar - quant[:, :cfg.n_diff, None] + cfg.g - 1
-
-
-def _proj_shift(x, table, idx, cfg):
-    """Per-element shifted table projections.
+def _proj_shift(x, table, quant, cfg, side):
+    """Per-element shifted table projections, gather-free.
 
     x [N, h, d]; table [L2, 3, h, d] (first n_diff slots used);
-    idx [N, A, G] -> [N, h, A*G] (head-major, axis-then-g inner)."""
+    side='q': qsh[i,a,h,g] = x_i . T[q_i - g + G - 1]  (reversed window)
+    side='k': ksh[i,a,h,g] = x_i . T[g - q_i + G - 1]
+    Both are contiguous length-G windows of the per-element projection row
+    xt[i,a,h,:] at an offset determined by the (clipped) quant coordinate.
+    Returns [N, h, A*G] (head-major, axis-then-g inner)."""
     n = x.shape[0]
+    g, l2 = cfg.g, cfg.l2
     xt = jnp.einsum("ihd,lahd->iahl", x, table[:, :cfg.n_diff])  # [N,A,h,L2]
-    idx_b = jnp.broadcast_to(idx[:, :, None, :],
-                             (n, cfg.n_diff, cfg.h, cfg.g))
-    sh = _take0(xt, idx_b, cfg.l2)                                # [N,A,h,G]
+    qc = jnp.clip(quant[:, :cfg.n_diff], 0, g - 1)[:, :, None]   # [N,A,1]
+    if side == "q":
+        sh = _window_take(xt[..., ::-1], (l2 - g) - qc, g, l2 - g)
+    else:
+        sh = _window_take(xt, (g - 1) - qc, g, g - 1)
     return jnp.moveaxis(sh, 1, 2).reshape(n, cfg.h, cfg.wd)
 
 
@@ -739,10 +747,8 @@ def _build_cats(qs, ks, vs, tq, tk, tv, quant, cfg, *, want_v=True):
     d, wd, lr, sk, sv = cfg.d, cfg.wd, cfg.lr, cfg.sk, cfg.sv
     dt = cast_compute(qs).dtype
     qs, ks, vs = cast_compute(qs, ks, vs)
-    idx_q = _shift_idx_q(quant, cfg, cfg.g)
-    idx_k = _shift_idx_k(quant, cfg, cfg.g)
-    qsh = _proj_shift(qs, cast_compute(tq), idx_q, cfg)
-    ksh = _proj_shift(ks, cast_compute(tk), idx_k, cfg)
+    qsh = _proj_shift(qs, cast_compute(tq), quant, cfg, "q")
+    ksh = _proj_shift(ks, cast_compute(tk), quant, cfg, "k")
     ohd = _onehot_diff(quant, cfg, dt)
     ohd_h = jnp.broadcast_to(ohd[:, None], (n, cfg.h, wd))
 
@@ -776,8 +782,7 @@ def _build_gcat(do, tv, quant, cfg, dt):
     V-table projections (mirror of qsh/qr)."""
     n = do.shape[0]
     d, wd, lr, sv = cfg.d, cfg.wd, cfg.lr, cfg.sv
-    idx_q = _shift_idx_q(quant, cfg, cfg.g)
-    edo = _proj_shift(do, tv.astype(do.dtype), idx_q, cfg)        # [N,h,wd]
+    edo = _proj_shift(do, tv.astype(do.dtype), quant, cfg, "q")   # [N,h,wd]
     gcat = jnp.zeros((n, cfg.h, sv), dt)
     gcat = gcat.at[:, :, :d].set(do.astype(dt))
     gcat = gcat.at[:, :, d:d + wd].set(edo.astype(dt))
@@ -788,25 +793,29 @@ def _build_gcat(do, tv, quant, cfg, dt):
     return gcat.reshape(n, cfg.h * sv)
 
 
+def _mass_pad(mass, cfg):
+    """Zero-pad the G axis by G on both sides: out-of-range shift reads land
+    in the padding and contribute 0, matching the one-hot semantics."""
+    return jnp.pad(mass, [(0, 0)] * (mass.ndim - 1) + [(cfg.g, cfg.g)])
+
+
 def _shifted_mass_q(mass, quant, cfg):
     """w[i,h,a,l] = mass[i,h,a, q_i^a - l + G - 1] (0 out of range).
 
     mass [N, h, A, G] -> [N, h, A, L2]. Used for the V-table forward
     epilogue and for every q-side table gradient (the 'shifted-mass' trick:
-    exactly the transpose of the forward shifted projections)."""
-    n = mass.shape[0]
-    idx = _shift_idx_q(quant, cfg, cfg.l2)                        # [N,A,L2]
-    idx_b = jnp.broadcast_to(idx[:, None], (n, cfg.h, cfg.n_diff, cfg.l2))
-    return _take0(mass, idx_b, cfg.g)
+    exactly the transpose of the forward shifted projections). Gather-free:
+    a reversed window of the zero-padded mass row at offset G - q."""
+    qc = jnp.clip(quant[:, :cfg.n_diff], 0, cfg.g - 1)[:, None, :]  # [N,1,A]
+    y = _mass_pad(mass, cfg)[..., ::-1]
+    return _window_take(y, cfg.g - qc, cfg.l2, cfg.g)
 
 
 def _shifted_mass_k(mass, quant, cfg):
-    """w[j,h,a,l] = mass[j,h,a, l + q_j^a - (G - 1)] (0 out of range)."""
-    n = mass.shape[0]
-    ar = jnp.arange(cfg.l2)[None, None, :]
-    idx = ar + quant[:, :cfg.n_diff, None] - (cfg.g - 1)          # [N,A,L2]
-    idx_b = jnp.broadcast_to(idx[:, None], (n, cfg.h, cfg.n_diff, cfg.l2))
-    return _take0(mass, idx_b, cfg.g)
+    """w[j,h,a,l] = mass[j,h,a, l + q_j^a - (G - 1)] (0 out of range):
+    forward window of the zero-padded mass row at offset q + 1."""
+    qc = jnp.clip(quant[:, :cfg.n_diff], 0, cfg.g - 1)[:, None, :]
+    return _window_take(_mass_pad(mass, cfg), qc + 1, cfg.l2, cfg.g)
 
 
 def _grid_ranges(seg_start, seg_end, tile, pad_to):
@@ -1078,6 +1087,8 @@ def _sorted_setup(whi, wlo, valid, tile):
 
 
 def _flash_from_keys(q, k, v, whi, wlo, valid, rpe, tile, interpret):
+    if interpret is None:  # auto: compiled on TPU, interpreted elsewhere
+        interpret = jax.default_backend() != "tpu"
     vcap, h, d = q.shape
     radial = rpe.r is not None
     g = int(rpe.grid_len)
@@ -1106,7 +1117,7 @@ def _flash_from_keys(q, k, v, whi, wlo, valid, rpe, tile, interpret):
 
 def sparse_window_attention_flash(
     q, k, v, xyz, valid, window_size, shift: bool = False,
-    rpe=None, tile: int = 128, interpret: bool = False,
+    rpe=None, tile: int = 128, interpret: Optional[bool] = None,
 ):
     """Drop-in flash counterpart of ``wattn.sparse_window_attention`` with
     contextual RPE (both branches), exact at any window occupancy and
@@ -1118,7 +1129,7 @@ def sparse_window_attention_flash(
 
 def sparse_window_attention_flash_batched(
     q, k, v, xyz, valid, window_size, shift: bool = False,
-    rpe=None, tile: int = 128, interpret: bool = False,
+    rpe=None, tile: int = 128, interpret: Optional[bool] = None,
 ):
     """Batched variant: [B, V, h, d]. The batch is flattened into one long
     window-sorted sequence (window keys made batch-unique) so the whole batch

@@ -44,6 +44,7 @@ def make_model(cfg: Config, axis_name: Optional[str] = None):
         drop_path_rate=cfg.model.drop_path_rate,
         sphere_a=cfg.model.a,
         head_dim=cfg.model.get("head_dim", 16),
+        pallas_attention=cfg.model.get("pallas_attention", False),
         axis_name=axis_name,
     )
     if name == "spvcnn":

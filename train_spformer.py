@@ -75,17 +75,20 @@ def main():
         print(f"resumed from {args.weight_path}")
 
     ignore = cfg.data.ignore_label
+    ovf = bool(cfg.get_path("train.overflow_checks", True))
     if use_dp:
         mesh = pmesh.make_mesh()
         step = pmesh.data_parallel_step(
-            train_state.make_train_step(model, tx, caps, ignore, axis), mesh
+            train_state.make_train_step(model, tx, caps, ignore, axis,
+                                        overflow_checks=ovf), mesh
         )
         ev = pmesh.data_parallel_eval(
             train_state.make_eval_step(model, caps, cfg.data.num_classes,
                                        ignore, axis), mesh
         )
     else:
-        step = jax.jit(train_state.make_train_step(model, tx, caps, ignore))
+        step = jax.jit(train_state.make_train_step(model, tx, caps, ignore,
+                                                   overflow_checks=ovf))
         ev = jax.jit(
             train_state.make_eval_step(model, caps, cfg.data.num_classes, ignore)
         )
@@ -96,6 +99,7 @@ def main():
         num_epochs=cfg.num_epochs, num_classes=cfg.data.num_classes,
         seed=cfg.train.seed % (2**31), ignore_label=ignore,
         epoch_to_save=cfg.get_path("epoch_to_save", 0),
+        strict_capacity=bool(cfg.get_path("train.strict_capacity", False)),
     )
     trainer.train()
 

@@ -96,12 +96,14 @@ class Trainer:
         log_every: int = 10,
         eval_raw_points: bool = True,
         logits_key: str = "logits",
+        strict_capacity: bool = False,
     ):
         self.run_dir = os.path.abspath(run_dir)
         os.makedirs(self.run_dir, exist_ok=True)
         self.state = state
         self.train_step = train_step
         self.eval_step = eval_step
+        self.strict_capacity = strict_capacity
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.num_epochs = num_epochs
@@ -192,9 +194,13 @@ class Trainer:
                 self.global_step += 1
                 n_steps += 1
                 if self.global_step % self.log_every == 0:
-                    for k, v in jax.device_get(aux).items():
+                    host_aux = jax.device_get(aux)
+                    for k, v in host_aux.items():
                         self.summary.add_scalar(f"train/{k}", float(v),
                                                 self.global_step)
+                    from u2mkd_tpu.train import overflow as _ovf
+
+                    _ovf.check_aux(host_aux, self.strict_capacity)
             results = self.evaluate()
             for k, v in results.items():
                 self.summary.add_scalar(f"val/{k}", v, self.global_step)

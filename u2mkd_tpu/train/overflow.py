@@ -1,0 +1,103 @@
+"""Capacity / overflow observability (VERDICT r1 weak #2).
+
+The fixed-capacity TPU design silently drops data when undersized:
+
+* voxel grids saturate — ``hashing.unique_keys`` drops ``inverse >=
+  capacity`` rows (``ops/spconv.py``),
+* the banded XLA attention truncates window pairs beyond ``band * tile``
+  keys (``ops/wattn.py:sparse_window_attention``) — the reference is exact
+  at ANY occupancy (``sptr/functional.py:146-167``),
+* datasets clamp point counts to the pad capacity.
+
+Any of these is an accuracy deviation vs the reference that no loss or
+metric would surface. This module computes per-batch counters inside the
+jitted train step; the loop logs them and can hard-fail
+(``train.strict_capacity``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from u2mkd_tpu.ops import hashing, wattn
+
+
+def max_window_occupancy(xyz, valid, window_size, shift: bool = False):
+    """Largest window occupancy in one sample (scalar int32)."""
+    whi, wlo = wattn.window_keys(xyz, valid, window_size, shift)
+    hi, lo = hashing.sort_by_key(whi, wlo)[:2]
+    n = hi.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    )
+    start = jax.lax.associative_scan(jnp.maximum, jnp.where(new, idx, 0))
+    last = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    run_len = jnp.where(last & (hi != hashing.INVALID_KEY), idx - start + 1, 0)
+    return jnp.max(run_len)
+
+
+def _level_windows(model):
+    """Per-level (cubic, sphere) window sizes, mirroring the doubling in
+    SPVCNN's encoder (reference ``spvcnn_spformer.py:77-83``)."""
+    ws = list(model.window_size)
+    wss = list(model.window_size_sphere)
+    wsc, wss_scale = model.window_size_scale
+    out = []
+    for _ in range(4):
+        out.append((tuple(ws), tuple(wss)))
+        ws = [w * wsc for w in ws]
+        wss = [wss[0] * wss_scale, wss[1] * wss_scale, wss[2]]
+    return out
+
+
+def stats_for_model(model, pl, tile: int = 128, band_cubic: int = 1,
+                    band_sphere: int = 4):
+    """Flat scalar dict for the train-step aux: per-level voxel saturation
+    and max window occupancy for both attention branches, plus a single
+    ``overflow/violations`` count of conditions that CLIP data (grid
+    saturation always; attention occupancy only on branches that truncate —
+    the flash path is exact at any occupancy)."""
+    out = {}
+    violations = jnp.zeros((), jnp.int32)
+    for li in range(len(pl.levels)):
+        grid = pl.levels[li].grid
+        cap = grid.mask.shape[-1]
+        count = jnp.max(jnp.sum(grid.mask, axis=-1))
+        out[f"overflow/vox_fill_l{li}"] = count / cap
+        violations += (count >= cap).astype(jnp.int32)
+    if getattr(model, "sphereformer", True):
+        windows = _level_windows(model)
+        flash = bool(getattr(model, "pallas_attention", False))
+        for li in range(1, min(len(pl.levels), 5)):
+            ws, wss = windows[li - 1]
+            xyz = pl.vox_xyz[li]
+            mask = pl.levels[li].grid.mask
+            occ_c = jnp.max(jax.vmap(
+                lambda x, m: max_window_occupancy(x, m, ws))(xyz, mask))
+            sph = jax.vmap(wattn.cart2sphere)(xyz)
+            occ_s = jnp.max(jax.vmap(
+                lambda x, m: max_window_occupancy(x, m, wss))(sph, mask))
+            out[f"overflow/occ_cubic_l{li}"] = occ_c
+            out[f"overflow/occ_sphere_l{li}"] = occ_s
+            violations += (occ_c > band_cubic * tile).astype(jnp.int32)
+            if not flash:
+                violations += (occ_s > band_sphere * tile).astype(jnp.int32)
+    out["overflow/violations"] = violations
+    return out
+
+
+def check_aux(aux, strict: bool):
+    """Host-side guard, called by the loop on fetched aux values."""
+    v = aux.get("overflow/violations")
+    if v is None:
+        return
+    if strict and int(v) > 0:
+        details = {k: float(x) for k, x in aux.items()
+                   if k.startswith("overflow/")}
+        raise RuntimeError(
+            f"capacity overflow: {int(v)} clipping condition(s) active — "
+            f"data is being silently dropped (undersized capacities or "
+            f"attention band). Counters: {details}"
+        )

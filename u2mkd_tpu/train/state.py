@@ -72,9 +72,13 @@ def make_train_step(
     ignore_label: int = 0,
     axis_name: Optional[str] = None,
     remat: bool = False,
+    overflow_checks: bool = False,
 ) -> Callable:
     """Teacher step: Lovász+CE on keyframe-masked points
     (reference ``spformer_trainer.py:78-94``).
+
+    ``overflow_checks=True`` adds per-batch capacity/occupancy counters to
+    the aux dict (see :mod:`u2mkd_tpu.train.overflow`).
 
     ``remat=True`` recomputes the forward in the backward pass
     (``jax.checkpoint``): ~1.3x step cost but much smaller peak memory and
@@ -121,7 +125,12 @@ def make_train_step(
             step=state.step + 1, params=params, batch_stats=bs,
             opt_state=opt_state,
         )
-        return new_state, {"loss": loss}
+        aux = {"loss": loss}
+        if overflow_checks:
+            from u2mkd_tpu.train import overflow
+
+            aux.update(overflow.stats_for_model(model, pl))
+        return new_state, aux
 
     return step_fn
 

@@ -141,15 +141,22 @@ class L2CFusion(nn.Module):
     def __call__(self, point_grid, img_feats, train: bool):
         ic = img_feats.shape[-1]
         rc = ic // 4
-        ri = conv(rc, 1, name="ai_fc1")(img_feats)
-        rp = conv(rc, 1, name="ai_fc2")(point_grid)
-        att = jax.nn.sigmoid(conv(1, 1, name="ai_fc3")(jnp.tanh(ri + rp)))
-        p_new = conv(ic, 1, name="ai_conv1")(point_grid)
+
+        def conv1x1(ch, name):
+            # the reference's 1x1 Conv2d layers carry biases
+            # (fusion_blocks.py:104-110) — the attention path (fc1/fc2/fc3)
+            # has no BN to absorb them, so they affect the gate
+            return nn.Conv(ch, (1, 1), use_bias=True, name=name)
+
+        ri = conv1x1(rc, "ai_fc1")(img_feats)
+        rp = conv1x1(rc, "ai_fc2")(point_grid)
+        att = jax.nn.sigmoid(conv1x1(1, "ai_fc3")(jnp.tanh(ri + rp)))
+        p_new = conv1x1(ic, "ai_conv1")(point_grid)
         p_new = BatchNorm2d(ic, axis_name=self.axis_name,
                             name="ai_conv1_bn")(p_new, train)
         p_new = nn.relu(p_new) * att
         fused = jnp.concatenate([img_feats, p_new], axis=-1)
-        fused = conv(self.out_ch, 1, name="fuse_conv")(fused)
+        fused = conv1x1(self.out_ch, "fuse_conv")(fused)
         fused = BatchNorm2d(self.out_ch, axis_name=self.axis_name,
                             name="fuse_bn")(fused, train)
         return nn.relu(fused), fused

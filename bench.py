@@ -143,7 +143,8 @@ def main():
     voxel_size = 0.1
 
     model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size,
-                           pallas_attention="--pallas" in sys.argv)
+                           pallas_attention="--pallas" in sys.argv,
+                           pallas_cubic="--pallas-cubic" in sys.argv)
     rng = np.random.RandomState(0)
     raw = synthetic.make_batch(rng, batch_size, num_points, voxel_size=voxel_size)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}

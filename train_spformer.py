@@ -25,6 +25,14 @@ def main():
                         help="checkpoint dir to resume from")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host run: jax.distributed.initialize "
+                             "(auto-discovery on TPU pods; set --coordinator/"
+                             "--num-processes/--process-id elsewhere), global "
+                             "device mesh, per-process data shards")
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
     args = parser.parse_args()
 
@@ -41,6 +49,13 @@ def main():
 
     cfg = config_lib.load(args.config)
     config_lib.update_dotted(cfg, args.opts)
+
+    if args.multihost:
+        pmesh.initialize_distributed(args.coordinator, args.num_processes,
+                                     args.process_id)
+        config_lib.update_dotted(cfg, ["train.multihost=true"])
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}")
 
     n_dev = jax.device_count()
     use_dp = n_dev > 1 and cfg.batch_size % n_dev == 0
@@ -77,7 +92,7 @@ def main():
     ignore = cfg.data.ignore_label
     ovf = bool(cfg.get_path("train.overflow_checks", True))
     if use_dp:
-        mesh = pmesh.make_mesh()
+        mesh = pmesh.make_global_mesh() if args.multihost else pmesh.make_mesh()
         step = pmesh.data_parallel_step(
             train_state.make_train_step(model, tx, caps, ignore, axis,
                                         overflow_checks=ovf), mesh

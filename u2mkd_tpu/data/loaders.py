@@ -54,10 +54,17 @@ def _maybe_inst_augmenter(cfg, dataset_kind: str):
 
 
 def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
-                plumbing_caps=None):
+                plumbing_caps=None, process_shard=False):
     order = np.arange(len(ds))
     if shuffle:
         rng.shuffle(order)
+    if process_shard:
+        # multi-host: every process draws the SAME shuffled order (seeded
+        # rng) and keeps a disjoint stride slice - the reference's
+        # DistributedSampler semantics (train_spformer.py:63-68)
+        import jax
+
+        order = order[jax.process_index()::jax.process_count()]
     n_batches = len(order) // batch_size
     for bi in range(n_batches):
         idxs = order[bi * batch_size:(bi + 1) * batch_size]
@@ -113,23 +120,33 @@ def make_loaders(cfg, seed: int = 0):
     train_ds, val_ds = build("train"), build("val")
     rng = np.random.RandomState(seed)
     pcaps = tuple(cfg.capacities) if cfg.get_path("host_plumbing", True) else None
+    multihost = bool(cfg.get_path("train.multihost", False))
 
-    def to_device(batch):
-        import jax
+    if multihost:
+        from u2mkd_tpu.parallel import mesh as pmesh
 
-        return jax.tree_util.tree_map(
-            lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, batch
-        )
+        gmesh = pmesh.make_global_mesh()
+
+        def to_device(batch):
+            return pmesh.shard_host_batch(batch, gmesh)
+    else:
+        def to_device(batch):
+            import jax
+
+            return jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
+                batch,
+            )
 
     from u2mkd_tpu.data.prefetch import prefetched_loader
 
     def train_loader():
         return _epoch_iter(train_ds, cfg.batch_size, collate_fn, True, rng,
-                           to_device, pcaps)
+                           to_device, pcaps, process_shard=multihost)
 
     def val_loader():
         return _epoch_iter(val_ds, cfg.batch_size, collate_fn, False, rng,
-                           to_device, pcaps)
+                           to_device, pcaps, process_shard=multihost)
 
     depth = int(cfg.get_path("prefetch_depth", 2))
     return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)

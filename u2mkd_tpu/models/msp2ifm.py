@@ -58,6 +58,7 @@ class SPVCNNSwiftNetMSP2IFM(nn.Module):
     adapt_out_ch: Optional[int] = None  # teacher cs[4] for KD (TSD wrapper)
     run_pix_decoder: bool = True
     pallas_attention: bool = False
+    pallas_cubic: bool = False
 
     def _cs(self):
         return [int(self.cr * x) for x in self.base_channels]
@@ -126,6 +127,7 @@ class SPVCNNSwiftNetMSP2IFM(nn.Module):
                     quant_size=tuple(qs), quant_size_sphere=tuple(qss),
                     drop_path=dpr[idx + 1], a=self.sphere_a, axis_name=ax,
                     use_flash=self.pallas_attention,
+                    flash_cubic=self.pallas_cubic,
                     name=f"sphereformer{idx + 1}",
                 )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train)
             wsc, wss_scale = self.window_size_scale

@@ -43,6 +43,7 @@ class SPVCNN(nn.Module):
     head_dim: int = 16
     return_point_feats: bool = False
     pallas_attention: bool = False  # flash kernel path (exact, fast compile)
+    pallas_cubic: bool = False      # flash for the cubic branch too
 
     @nn.compact
     def __call__(self, pfeats: jax.Array, plumbing: UNetPlumbing, train: bool):
@@ -100,6 +101,7 @@ class SPVCNN(nn.Module):
                     a=self.sphere_a,
                     axis_name=ax,
                     use_flash=self.pallas_attention,
+                    flash_cubic=self.pallas_cubic,
                     name=f"sphereformer{idx + 1}",
                 )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train)
                 wsc, wss_scale = self.window_size_scale

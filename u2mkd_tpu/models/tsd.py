@@ -40,6 +40,7 @@ class TSDFull(nn.Module):
     head_dim: int = 16
     run_pix_decoder: bool = True
     pallas_attention: bool = False
+    pallas_cubic: bool = False
 
     def setup(self):
         teacher_cs4 = int(self.cr_t * 256)
@@ -52,6 +53,7 @@ class TSDFull(nn.Module):
             window_size_scale=self.window_size_scale,
             drop_path_rate=self.drop_path_rate, sphere_a=self.sphere_a,
             head_dim=self.head_dim, pallas_attention=self.pallas_attention,
+            pallas_cubic=self.pallas_cubic,
         )
         self.model_s = SPVCNNSwiftNetMSP2IFM(
             cr=self.cr, in_channel=self.in_channel, adapt_out_ch=teacher_cs4,

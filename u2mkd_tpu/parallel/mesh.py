@@ -19,11 +19,62 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
 DATA_AXIS = "data"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialization — the TPU-native replacement for the
+    reference's ``torchpack dist-run`` MPI launch (``README.md:89``,
+    SURVEY §2.10). On TPU pods with no arguments, jax auto-discovers the
+    coordinator from the runtime environment; on CPU/GPU clusters pass the
+    coordinator address + process grid explicitly. No-op when jax.distributed
+    is already initialized or when single-process with no coordinator."""
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run outside a pod environment
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def make_global_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over ALL devices across every process: DP collectives ride
+    ICI within a host/pod slice and DCN across hosts, inserted by XLA."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def shard_host_batch(batch, mesh: Mesh):
+    """Per-process local batch -> globally sharded jax.Arrays.
+
+    Each process feeds only its shard (its loaders see 1/num_processes of
+    the data, like the reference's DistributedSampler,
+    ``train_spformer.py:63-68``); ``make_array_from_process_local_data``
+    assembles the logical global batch without any cross-host copy."""
+    sharding = NamedSharding(mesh, PS(DATA_AXIS))
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def local_batch_indices(n: int, seed_order: np.ndarray) -> np.ndarray:
+    """This process's slice of a (shuffled) global index order."""
+    return seed_order[jax.process_index()::jax.process_count()]
 
 
 def shard_batch_spec(batch):

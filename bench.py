@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 
-def bench_student(num_points, batch_size):
+def bench_student(num_points, batch_size, pallas=False):
     """Full TSD distillation step: student (LiDAR+cameras) + frozen
     multisweep teacher + KD losses."""
     import jax
@@ -49,7 +49,8 @@ def bench_student(num_points, batch_size):
 
     model = TSDFull(num_classes=17, cr=1.0, cr_t=2.0,
                     window_size=(0.6, 0.6, 0.6),
-                    quant_size=(0.6 / 24,) * 3)
+                    quant_size=(0.6 / 24,) * 3,
+                    pallas_attention=pallas)
     tx = distill.make_frozen_teacher_optimizer(
         optim.make_optimizer("sgd_spformer", 0.02)
     )
@@ -119,7 +120,8 @@ def main():
                 sp = int(a.split("=")[1])
             if a.startswith("--batch="):
                 sb = int(a.split("=")[1])
-        sps, compile_s, host_ms, loss = bench_student(sp, sb)
+        sps, compile_s, host_ms, loss = bench_student(
+            sp, sb, pallas="--pallas" in sys.argv)
         print(json.dumps({
             "metric": "student_tsd_train_scans_per_sec",
             "value": round(sps, 3),

@@ -187,6 +187,7 @@ class SphereFormerBlock(nn.Module):
     band_sphere: int = 4
     tile: int = 128
     use_flash: bool = False
+    flash_cubic: bool = False
 
     @nn.compact
     def __call__(self, feats, xyz, mask, train: bool):
@@ -199,7 +200,8 @@ class SphereFormerBlock(nn.Module):
             quant_size=self.quant_size,
             quant_size_sphere=self.quant_size_sphere,
             a=self.a, band_cubic=self.band_cubic, band_sphere=self.band_sphere,
-            tile=self.tile, use_flash=self.use_flash, name="attn",
+            tile=self.tile, use_flash=self.use_flash,
+            flash_cubic=self.flash_cubic, name="attn",
         )(x, xyz, mask)
         x = short + DropPath(self.drop_path, name="drop_path1")(x, train)
         y = nn.LayerNorm(name="norm2")(x)

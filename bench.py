@@ -121,7 +121,7 @@ def main():
             if a.startswith("--batch="):
                 sb = int(a.split("=")[1])
         sps, compile_s, host_ms, loss = bench_student(
-            sp, sb, pallas="--pallas" in sys.argv)
+            sp, sb, pallas="--no-pallas" not in sys.argv)
         print(json.dumps({
             "metric": "student_tsd_train_scans_per_sec",
             "value": round(sps, 3),
@@ -145,7 +145,7 @@ def main():
     voxel_size = 0.1
 
     model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size,
-                           pallas_attention="--pallas" in sys.argv,
+                           pallas_attention="--no-pallas" not in sys.argv,
                            pallas_cubic="--pallas-cubic" in sys.argv)
     rng = np.random.RandomState(0)
     raw = synthetic.make_batch(rng, batch_size, num_points, voxel_size=voxel_size)

@@ -63,3 +63,22 @@ def test_confusion_matrix(rng):
     cm = V.confusion_matrix(pred, target, 3, ignore_label=0)
     assert cm[1, 1] == 1 and cm[2, 2] == 1 and cm[2, 1] == 1
     assert cm.sum() == 3  # ignore-label row dropped
+
+
+def test_export_html_viewer(tmp_path, rng):
+    from u2mkd_tpu.utils import visualize
+
+    xyz = rng.randn(500, 3).astype(np.float32) * 10
+    labels = rng.randint(0, 5, 500)
+    out = visualize.export_html_viewer(
+        str(tmp_path / "cloud.html"), xyz, labels,
+        class_names=[f"c{i}" for i in range(5)])
+    html = open(out).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert '"pts"' in html and '"palette"' in html
+    assert "orbit" in html
+    # payload round-trips: same number of points
+    import json as _json
+    payload = html.split("const D=", 1)[1].split(";\nconst cv", 1)[0]
+    data = _json.loads(payload)
+    assert len(data["pts"]) == 500 and len(data["lab"]) == 500

@@ -75,3 +75,87 @@ def confusion_matrix(pred: np.ndarray, target: np.ndarray, num_classes: int,
     return np.bincount(idx, minlength=num_classes ** 2).reshape(
         num_classes, num_classes
     )
+
+
+def export_html_viewer(path: str, xyz: np.ndarray,
+                       labels: Optional[np.ndarray] = None,
+                       class_names: Optional[list] = None,
+                       max_points: int = 200000,
+                       title: str = "point cloud") -> str:
+    """Interactive point-cloud viewer as ONE self-contained HTML file.
+
+    Replacement for the reference's open3d window (``visualize_utils.py:
+    164-210``) that works in a headless environment: drag = orbit, wheel =
+    zoom, keys 1..9 toggle classes — open the file in any browser, no
+    dependencies or network. Colors follow the label palette used by
+    ``save_bev_png``.
+    """
+    import json as _json
+
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    if labels is None:
+        labels = np.zeros(n, np.int32)
+    labels = np.asarray(labels, np.int32)
+    if n > max_points:
+        sel = np.random.RandomState(0).choice(n, max_points, replace=False)
+        xyz, labels = xyz[sel], labels[sel]
+    center = xyz.mean(0)
+    xyz = xyz - center
+    k = int(labels.max()) + 1 if len(labels) else 1
+    rng = np.random.RandomState(7)
+    palette = (rng.rand(max(k, 1), 3) * 200 + 40).astype(int).tolist()
+    payload = {
+        "pts": np.round(xyz, 3).tolist(),
+        "lab": labels.tolist(),
+        "palette": palette,
+        "names": list(class_names) if class_names else
+                 [f"class {i}" for i in range(k)],
+    }
+    html = """<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>%TITLE%</title><style>
+body{margin:0;background:#111;color:#ccc;font:12px monospace;overflow:hidden}
+#hud{position:fixed;top:8px;left:8px;z-index:2;white-space:pre}
+canvas{display:block}</style></head><body>
+<div id="hud">%TITLE% — drag: orbit, wheel: zoom, keys 0-9: toggle class</div>
+<canvas id="c"></canvas><script>
+const D=%DATA%;
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
+rs();addEventListener('resize',()=>{rs();draw();});
+let ry=0.7,rx=-1.0,zoom=9,hidden=new Set();
+function draw(){
+ ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
+ const cy=Math.cos(ry),sy=Math.sin(ry),cx=Math.cos(rx),sx=Math.sin(rx);
+ const s=Math.min(W,H)/zoom;
+ const pts=D.pts,lab=D.lab,pal=D.palette;
+ for(let i=0;i<pts.length;i++){
+  const l=lab[i];if(hidden.has(l))continue;
+  const p=pts[i];
+  const x1=p[0]*cy-p[1]*sy, y1=p[0]*sy+p[1]*cy;
+  const y2=y1*cx-p[2]*sx, z2=y1*sx+p[2]*cx;
+  const px=W/2+x1*s, py=H/2-z2*s;
+  if(px<0||px>W||py<0||py>H)continue;
+  const c=pal[l%pal.length];
+  ctx.fillStyle=`rgb(${c[0]},${c[1]},${c[2]})`;
+  ctx.fillRect(px,py,1.6,1.6);
+ }
+ ctx.fillStyle='#ccc';let y=40;
+ for(let l=0;l<D.names.length;l++){
+  const c=pal[l%pal.length];
+  ctx.fillStyle=hidden.has(l)?'#444':`rgb(${c[0]},${c[1]},${c[2]})`;
+  ctx.fillText(`${l}: ${D.names[l]}`,8,y);y+=14;}
+}
+let drag=false,lx=0,ly=0;
+cv.onmousedown=e=>{drag=true;lx=e.clientX;ly=e.clientY;};
+onmouseup=()=>drag=false;
+onmousemove=e=>{if(!drag)return;ry+=(e.clientX-lx)*0.01;rx+=(e.clientY-ly)*0.01;
+ lx=e.clientX;ly=e.clientY;draw();};
+onwheel=e=>{zoom*=e.deltaY>0?1.1:0.9;draw();};
+onkeydown=e=>{const l=parseInt(e.key);if(!isNaN(l)){
+ hidden.has(l)?hidden.delete(l):hidden.add(l);draw();}};
+draw();</script></body></html>"""
+    html = html.replace("%TITLE%", title).replace("%DATA%", _json.dumps(payload))
+    with open(path, "w") as f:
+        f.write(html)
+    return path

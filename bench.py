@@ -146,7 +146,7 @@ def main():
 
     model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size,
                            pallas_attention="--no-pallas" not in sys.argv,
-                           pallas_cubic="--pallas-cubic" in sys.argv)
+                           pallas_cubic="--no-pallas-cubic" not in sys.argv)
     rng = np.random.RandomState(0)
     raw = synthetic.make_batch(rng, batch_size, num_points, voxel_size=voxel_size)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}

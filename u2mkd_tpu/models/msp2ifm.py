@@ -58,7 +58,7 @@ class SPVCNNSwiftNetMSP2IFM(nn.Module):
     adapt_out_ch: Optional[int] = None  # teacher cs[4] for KD (TSD wrapper)
     run_pix_decoder: bool = True
     pallas_attention: bool = False
-    pallas_cubic: bool = False
+    pallas_cubic: bool = True
 
     def _cs(self):
         return [int(self.cr * x) for x in self.base_channels]

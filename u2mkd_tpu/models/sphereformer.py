@@ -50,7 +50,8 @@ class SphereAttention(nn.Module):
     # windows beyond band*tile keys), 1.65x faster fwd+bwd on TPU, and
     # compiles in seconds. The cubic branch keeps the banded XLA path by
     # default: band=1 is provably exact there (<=27-cell windows) and faster.
-    flash_cubic: bool = False
+    flash_cubic: bool = True  # at in-model per-sample sizes the batched
+    # flash kernel beats the vmap'd banded scan on the cubic branch too
 
     @nn.compact
     def __call__(self, feats, xyz, mask):
@@ -187,7 +188,7 @@ class SphereFormerBlock(nn.Module):
     band_sphere: int = 4
     tile: int = 128
     use_flash: bool = False
-    flash_cubic: bool = False
+    flash_cubic: bool = True
 
     @nn.compact
     def __call__(self, feats, xyz, mask, train: bool):

@@ -43,7 +43,7 @@ class SPVCNN(nn.Module):
     head_dim: int = 16
     return_point_feats: bool = False
     pallas_attention: bool = False  # flash kernel path (exact, fast compile)
-    pallas_cubic: bool = False      # flash for the cubic branch too
+    pallas_cubic: bool = True       # flash for the cubic branch too
 
     @nn.compact
     def __call__(self, pfeats: jax.Array, plumbing: UNetPlumbing, train: bool):

@@ -40,7 +40,7 @@ class TSDFull(nn.Module):
     head_dim: int = 16
     run_pix_decoder: bool = True
     pallas_attention: bool = False
-    pallas_cubic: bool = False
+    pallas_cubic: bool = True
 
     def setup(self):
         teacher_cs4 = int(self.cr_t * 256)

@@ -45,7 +45,7 @@ def make_model(cfg: Config, axis_name: Optional[str] = None):
         sphere_a=cfg.model.a,
         head_dim=cfg.model.get("head_dim", 16),
         pallas_attention=cfg.model.get("pallas_attention", False),
-        pallas_cubic=cfg.model.get("pallas_cubic", False),
+        pallas_cubic=cfg.model.get("pallas_cubic", True),
         axis_name=axis_name,
     )
     if name == "spvcnn":

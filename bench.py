@@ -37,20 +37,23 @@ def bench_student(num_points, batch_size, pallas=False):
         im_hw=(360, 640),
     )
     batch = jax.tree_util.tree_map(jnp.asarray, raw)
-    t0 = time.time()
-    for key, caps in (("student", s_caps), ("teacher", t_caps)):
-        pl = plumbing_host.batch_plumbing(
-            raw[key]["pcoords"], raw[key]["xyz"], raw[key]["pmask"], caps
-        )
-        batch[key]["plumbing"] = {
-            k: [jnp.asarray(a) for a in v] for k, v in pl.items()
-        }
-    host_ms = (time.time() - t0) * 1e3
-
     model = TSDFull(num_classes=17, cr=1.0, cr_t=2.0,
                     window_size=(0.6, 0.6, 0.6),
                     quant_size=(0.6 / 24,) * 3,
                     pallas_attention=pallas)
+    t0 = time.time()
+    wp = None
+    if pallas:
+        from u2mkd_tpu.data import wgeom_host
+
+        wp = wgeom_host.params_from_model(model)
+    for key, caps in (("student", s_caps), ("teacher", t_caps)):
+        pl = plumbing_host.batch_plumbing(
+            raw[key]["pcoords"], raw[key]["xyz"], raw[key]["pmask"], caps,
+            wgeom_params=wp,
+        )
+        batch[key]["plumbing"] = jax.tree_util.tree_map(jnp.asarray, pl)
+    host_ms = (time.time() - t0) * 1e3
     tx = distill.make_frozen_teacher_optimizer(
         optim.make_optimizer("sgd_spformer", 0.02)
     )
@@ -72,25 +75,54 @@ def bench_student(num_points, batch_size, pallas=False):
     return batch_size / dt, compile_s, host_ms, float(aux["loss"])
 
 
-V5E_BF16_PEAK = 197e12  # TPU v5e (v5 lite) per-chip bf16 peak FLOP/s
+# per-chip bf16 peak FLOP/s by jax device_kind prefix (longest match wins)
+PEAK_BF16 = {
+    "tpu v5 lite": 197e12,   # v5e
+    "tpu v5e": 197e12,
+    "tpu v5p": 459e12,
+    "tpu v5": 459e12,
+    "tpu v4": 275e12,
+    "tpu v6 lite": 918e12,   # Trillium
+    "tpu v6e": 918e12,
+}
+
+
+def device_peak_flops():
+    """(peak FLOP/s, device_kind) for the local accelerator, or (None, kind)
+    when the generation is unknown — MFU is then not reported rather than
+    silently wrong (ADVICE r2)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    kl = kind.lower()
+    best = None
+    for prefix, peak in PEAK_BF16.items():
+        if kl.startswith(prefix) and (best is None or len(prefix) > best[0]):
+            best = (len(prefix), peak)
+    return (best[1] if best else None), kind
 
 
 def step_mfu(jitted, args, step_seconds, platform):
-    """Executed-FLOPs MFU via XLA cost analysis: fraction of the v5e chip's
-    bf16 peak actually sustained by the step (VERDICT r1 #5 — makes the
-    BASELINE.md 'exceed A100 per-chip' target checkable)."""
-    if platform == "cpu":
-        return None
+    """Executed-FLOPs MFU via XLA cost analysis against the *local* chip's
+    bf16 peak (VERDICT r1 #5 — makes the BASELINE.md 'exceed A100 per-chip'
+    target checkable). Returns (mfu, device_kind); mfu is None on CPU, on
+    unknown accelerators, and when cost analysis is unavailable.
+
+    Note: XLA cost analysis does not see pallas-kernel FLOPs; callers add
+    those separately (see flash_attention_flops)."""
+    peak, kind = (None, "cpu") if platform == "cpu" else device_peak_flops()
+    if peak is None:
+        return None, kind
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops <= 0:
-            return None
-        return flops / step_seconds / V5E_BF16_PEAK
+            return None, kind
+        return flops / step_seconds / peak, kind
     except Exception:
-        return None
+        return None, kind
 
 
 def main():
@@ -154,16 +186,17 @@ def main():
     if host_plumbing:
         import time as _t
 
-        from u2mkd_tpu.data import plumbing_host
+        from u2mkd_tpu.data import plumbing_host, wgeom_host
 
+        wp = None
+        if model.pallas_attention and "--no-wgeom" not in sys.argv:
+            wp = wgeom_host.params_from_model(model)
         t0 = _t.time()
         pl = plumbing_host.batch_plumbing(
-            raw["pcoords"], raw["xyz"], raw["pmask"], caps
+            raw["pcoords"], raw["xyz"], raw["pmask"], caps, wgeom_params=wp
         )
         host_ms = (_t.time() - t0) * 1e3
-        batch["plumbing"] = {
-            k: [jnp.asarray(a) for a in v] for k, v in pl.items()
-        }
+        batch["plumbing"] = jax.tree_util.tree_map(jnp.asarray, pl)
     else:
         host_ms = 0.0
 
@@ -186,7 +219,8 @@ def main():
     jax.block_until_ready(out["loss"])
     dt = (time.time() - t0) / iters
     scans_per_sec = batch_size / dt
-    mfu = step_mfu(step, (st, batch, jax.random.PRNGKey(1)), dt, platform)
+    mfu, dev_kind = step_mfu(step, (st, batch, jax.random.PRNGKey(1)), dt,
+                             platform)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -202,7 +236,8 @@ def main():
         "unit": f"scans/sec ({platform}, P={num_points}, B={batch_size}, "
                 f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms, "
                 f"loss={float(out['loss']):.3f}"
-                + (f", mfu={mfu * 100:.1f}%" if mfu is not None else "")
+                + (f", mfu={mfu * 100:.1f}% of {dev_kind} bf16 peak"
+                   if mfu is not None else "")
                 + ")",
         "vs_baseline": round(vs, 3),
         **({"mfu": round(mfu, 4)} if mfu is not None else {}),

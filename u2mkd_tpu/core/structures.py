@@ -37,6 +37,28 @@ class VoxelGrid(flax.struct.PyTreeNode):
         return self.coords.shape[-2]
 
 
+class WindowGeom(flax.struct.PyTreeNode):
+    """Host-precomputed window geometry for one attention branch at one
+    U-Net level (built by ``data/wgeom_host.py``; consumed by the flash
+    kernel wrapper ``ops.pallas.wattn_kernel.flash_pregeom_batched``).
+
+    The flattened [B*V] voxel batch is window-sorted on the host; the device
+    only gathers by ``order``, runs the kernel over the precomputed per-tile
+    [kmin, kmax) ranges, and gathers back by ``inv`` — no in-program sorts,
+    segment scans, or quantization index math (the round-2 serialization
+    bottleneck, PERF.md).
+    """
+
+    order: jax.Array   # [pad_to] int32 gather order (pads -> 0, dead rank)
+    inv: jax.Array     # [B*V] int32 inverse permutation
+    rank: jax.Array    # [pad_to] f32 dense window id in sorted order
+    quant: jax.Array   # [pad_to, 3] int32 quantized in-window coords (sorted)
+    kmin: jax.Array    # [pad_to/tile] int32
+    kmax: jax.Array    # [pad_to/tile] int32
+    occ: jax.Array     # [1] int32 max window occupancy (overflow counter)
+    r: Optional[jax.Array] = None  # [pad_to] f32 range (sphere branch)
+
+
 class LevelContext(flax.struct.PyTreeNode):
     """Per-level index plumbing built once per forward pass.
 

@@ -54,17 +54,21 @@ def _maybe_inst_augmenter(cfg, dataset_kind: str):
 
 
 def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
-                plumbing_caps=None, process_shard=False):
+                plumbing_caps=None, process_shard=False, wgeom_params=None,
+                n_shards=1):
     order = np.arange(len(ds))
     if shuffle:
         rng.shuffle(order)
     if process_shard:
         # multi-host: every process draws the SAME shuffled order (seeded
-        # rng) and keeps a disjoint stride slice - the reference's
-        # DistributedSampler semantics (train_spformer.py:63-68)
+        # rng) and keeps a disjoint per-process slice, truncated to a common
+        # length so every process runs the same number of lockstep steps -
+        # the reference's DistributedSampler semantics
+        # (train_spformer.py:63-68)
         import jax
 
-        order = order[jax.process_index()::jax.process_count()]
+        per = len(order) // jax.process_count()
+        order = order[jax.process_index()::jax.process_count()][:per]
     n_batches = len(order) // batch_size
     for bi in range(n_batches):
         idxs = order[bi * batch_size:(bi + 1) * batch_size]
@@ -73,9 +77,33 @@ def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
             from u2mkd_tpu.data import plumbing_host
 
             batch["plumbing"] = plumbing_host.batch_plumbing(
-                batch["pcoords"], batch["xyz"], batch["pmask"], plumbing_caps
+                batch["pcoords"], batch["xyz"], batch["pmask"], plumbing_caps,
+                wgeom_params=wgeom_params, n_shards=n_shards,
             )
         yield to_device(batch)
+
+
+def dp_shard_count(cfg) -> int:
+    """Number of LOCAL data-parallel shards a loader batch will be split
+    into — must match the CLI's use_dp decision (train_spformer.py)."""
+    import jax
+
+    n_dev = jax.device_count()
+    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        return jax.local_device_count()
+    return 1
+
+
+def _wgeom_params(cfg):
+    """Host window-geometry spec when the flash-attention path will consume
+    it (pallas_attention spformer models with host plumbing on)."""
+    if not cfg.model.get("pallas_attention", False):
+        return None
+    if "spformer" not in cfg.model.name:
+        return None
+    from u2mkd_tpu.data import wgeom_host
+
+    return wgeom_host.params_from_cfg(cfg)
 
 
 def make_loaders(cfg, seed: int = 0):
@@ -140,13 +168,18 @@ def make_loaders(cfg, seed: int = 0):
 
     from u2mkd_tpu.data.prefetch import prefetched_loader
 
+    wparams = _wgeom_params(cfg) if pcaps is not None else None
+    n_shards = dp_shard_count(cfg)
+
     def train_loader():
         return _epoch_iter(train_ds, cfg.batch_size, collate_fn, True, rng,
-                           to_device, pcaps, process_shard=multihost)
+                           to_device, pcaps, process_shard=multihost,
+                           wgeom_params=wparams, n_shards=n_shards)
 
     def val_loader():
         return _epoch_iter(val_ds, cfg.batch_size, collate_fn, False, rng,
-                           to_device, pcaps, process_shard=multihost)
+                           to_device, pcaps, process_shard=multihost,
+                           wgeom_params=wparams, n_shards=n_shards)
 
     depth = int(cfg.get_path("prefetch_depth", 2))
     return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)
@@ -181,6 +214,9 @@ def make_distill_loaders(cfg, seed: int = 0):
     t_caps = tuple(cfg.get_path("teacher_capacities") or cfg.capacities)
     use_host = cfg.get_path("host_plumbing", True)
 
+    wparams = _wgeom_params(cfg) if use_host else None
+    n_shards = dp_shard_count(cfg)
+
     def add_plumbing(batch):
         if use_host:
             from u2mkd_tpu.data import plumbing_host
@@ -188,7 +224,8 @@ def make_distill_loaders(cfg, seed: int = 0):
             for key, caps in (("student", s_caps), ("teacher", t_caps)):
                 sub = batch[key]
                 sub["plumbing"] = plumbing_host.batch_plumbing(
-                    sub["pcoords"], sub["xyz"], sub["pmask"], caps
+                    sub["pcoords"], sub["xyz"], sub["pmask"], caps,
+                    wgeom_params=wparams, n_shards=n_shards,
                 )
         return batch
 

@@ -70,16 +70,48 @@ def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
 
 
 def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
-                   capacities: Sequence[int]) -> Dict[str, list]:
-    """Build + stack plumbing for a whole [B, P, ...] batch."""
+                   capacities: Sequence[int], wgeom_params: Dict = None,
+                   n_shards: int = 1) -> Dict[str, list]:
+    """Build + stack plumbing for a whole [B, P, ...] batch.
+
+    ``wgeom_params`` (from ``wgeom_host.params_from_cfg/params_from_model``)
+    additionally precomputes the per-level/per-branch window geometry for the
+    flash attention path. ``n_shards`` must equal the number of data-parallel
+    shards the batch will be split into (the geometry flattens each shard's
+    sub-batch into one window-sorted sequence; arrays get a leading [S] axis
+    so they shard over the data mesh axis like every other batch leaf).
+    """
+    b = len(pcoords)
     per = [
         build_plumbing_arrays(pcoords[i], pxyz[i], pmask[i], capacities)
-        for i in range(len(pcoords))
+        for i in range(b)
     ]
-    return {
+    out = {
         k: [np.stack([s[k][li] for s in per]) for li in range(len(capacities))]
         for k in per[0]
     }
+    if wgeom_params is not None:
+        from u2mkd_tpu.data import wgeom_host
+
+        assert b % n_shards == 0, (b, n_shards)
+        bs = b // n_shards
+        shard_geoms = []
+        for s in range(n_shards):
+            sl = slice(s * bs, (s + 1) * bs)
+            shard_geoms.append(wgeom_host.batch_window_geometry(
+                [x[sl] for x in out["voxxyz"]],
+                [m[sl] for m in out["vmask"]],
+                wgeom_params,
+            ))
+        out["wgeom"] = {
+            branch: [
+                {k: np.stack([sg[branch][li][k] for sg in shard_geoms])
+                 for k in shard_geoms[0][branch][li]}
+                for li in range(len(shard_geoms[0][branch]))
+            ]
+            for branch in shard_geoms[0]
+        }
+    return out
 
 
 def _numpy_build(pcoords, pxyz, pmask, capacities):

@@ -1,0 +1,203 @@
+"""Host-side window geometry for the flash attention path.
+
+Round-2 profiling (PERF.md) showed the teacher step runs ~4x slower than the
+sum of its parts: the 8 in-program window sorts (4 levels x 2 branches) plus
+the rank/segment/quantization index math around the attention custom calls
+serialize the whole XLA program. All of that geometry is *feature
+independent* — it depends only on the per-level voxel positions the host
+plumbing already computes (``voxxyz``) — so, exactly like the conv rulebooks
+(``native/pointcore.cpp:build_plumbing_host``), it is built here on the host
+and shipped with the batch. This mirrors the reference's own design: sptr
+computes window indices once per ``indice_key`` and caches them
+(``/root/reference/core/models/sphereformer/spherical_transformer.py:
+185-219``); ours just moves the precompute off the device entirely.
+
+Per level and branch the device receives (see ``core.structures.WindowGeom``):
+  order  [pad_to] int32  window-sorted gather order over the flattened
+                         [B*V] batch (pad rows point at 0 and carry a
+                         unique window rank so they attend nothing live),
+  inv    [B*V]   int32   inverse permutation (unsort becomes a gather),
+  rank   [pad_to] f32    dense window id in sorted order,
+  quant  [pad_to,3] i32  per-axis quantized in-window coordinates (sorted),
+  r      [pad_to] f32    raw range, sphere branch only (for the in-kernel
+                         exponential split),
+  kmin/kmax [pad_to/tile] i32  per-query-tile dynamic key ranges,
+  occ    [1] int32       max window occupancy (free overflow counter).
+
+Semantics are bit-matched to the in-jit builders they replace:
+``wattn.window_keys`` / ``wattn.quantize_in_window`` / ``wattn.cart2sphere``
+(reference ``sptr/utils.py:20-47``, ``sptr/modules.py:40-44``,
+``spherical_transformer.py:31-36``) and the sort/rank/range setup of
+``wattn_kernel._sorted_setup``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+_BIAS = np.int64(1) << 21
+
+
+def cart2sphere(xyz: np.ndarray) -> np.ndarray:
+    """float32 (x,y,z) -> (theta_deg, beta_deg, r); matches
+    ``wattn.cart2sphere``."""
+    xyz = xyz.astype(np.float32)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    theta = (np.arctan2(y, x) + np.float32(math.pi)) * np.float32(180.0 / math.pi)
+    beta = np.arctan2(np.sqrt(x * x + y * y), z) * np.float32(180.0 / math.pi)
+    r = np.sqrt(x * x + y * y + z * z)
+    return np.stack([theta, beta, r], axis=-1).astype(np.float32)
+
+
+def _valid_min(xyz: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    big = np.where(valid[:, None], xyz, np.float32(np.inf))
+    mn = big.min(axis=0)
+    return np.where(np.isfinite(mn), mn, np.float32(0.0)).astype(np.float32)
+
+
+def window_cells(xyz: np.ndarray, valid: np.ndarray, ws) -> np.ndarray:
+    """floor((pos - min_valid) / ws) — ``wattn.window_keys`` (shift=False)."""
+    ws = np.asarray(ws, np.float32)
+    start = _valid_min(xyz, valid)
+    return np.floor((xyz.astype(np.float32) - start) / ws).astype(np.int64)
+
+
+def quantize_in_window(xyz: np.ndarray, valid: np.ndarray, ws, qs) -> np.ndarray:
+    """floor(mod(xyz - min_valid, ws) / qs) — ``wattn.quantize_in_window``
+    (shift=False)."""
+    ws = np.asarray(ws, np.float32)
+    qs = np.asarray(qs, np.float32)
+    mn = _valid_min(xyz, valid)
+    rel = np.mod(xyz.astype(np.float32) - mn, ws)
+    return np.floor(rel / qs).astype(np.int32)
+
+
+def level_window_params(window_size, window_size_sphere, quant_size,
+                        quant_size_sphere, window_size_scale,
+                        n_levels: int = 4) -> List[Dict]:
+    """Per-encoder-level (cubic, sphere) window/quant sizes, mirroring the
+    doubling in SPVCNN's encoder (reference ``spvcnn_spformer.py:77-83``).
+    Entry i corresponds to U-Net level i+1."""
+    ws = [float(w) for w in window_size]
+    qs = [float(q) for q in quant_size]
+    wss = [float(w) for w in window_size_sphere]
+    qss = [float(q) for q in quant_size_sphere]
+    wsc, wss_scale = float(window_size_scale[0]), float(window_size_scale[1])
+    out = []
+    for _ in range(n_levels):
+        out.append(dict(ws=tuple(ws), qs=tuple(qs), wss=tuple(wss),
+                        qss=tuple(qss)))
+        ws = [w * wsc for w in ws]
+        qs = [q * wsc for q in qs]
+        wss = [wss[0] * wss_scale, wss[1] * wss_scale, wss[2]]
+        qss = [qss[0] * wss_scale, qss[1] * wss_scale, qss[2]]
+    return out
+
+
+def params_from_cfg(cfg) -> Dict:
+    """Window-geometry spec from a train config (window math per reference
+    ``builder.py:533-620``); consumed by ``plumbing_host.batch_plumbing``."""
+    from u2mkd_tpu.train.builder import window_geometry
+
+    ws, wss, qs, qss = window_geometry(cfg)
+    return dict(
+        levels=level_window_params(
+            ws, wss, qs, qss, tuple(cfg.model.window_size_scale)
+        ),
+        tile=int(cfg.model.get("attn_tile", 128)),
+    )
+
+
+def params_from_model(model) -> Dict:
+    """Same spec derived from a model's attributes (bench/test helper)."""
+    return dict(
+        levels=level_window_params(
+            model.window_size, model.window_size_sphere, model.quant_size,
+            model.quant_size_sphere, model.window_size_scale,
+        ),
+        tile=128,
+    )
+
+
+def _branch_geometry(coords: np.ndarray, valid: np.ndarray, ws, qs,
+                     tile: int, radial: bool) -> Dict[str, np.ndarray]:
+    """Geometry for one attention branch over one [B, V] voxel batch."""
+    b, v = valid.shape
+    n = b * v
+    cells = np.stack([window_cells(coords[i], valid[i], ws) for i in range(b)])
+    quant = np.stack(
+        [quantize_in_window(coords[i], valid[i], ws, qs) for i in range(b)]
+    )
+    flat_valid = valid.reshape(-1)
+    c = cells.reshape(-1, 3)
+    key = (((c[:, 0] + _BIAS) << 42)
+           | (((c[:, 1] + _BIAS) & 0x1FFFFF) << 21)
+           | ((c[:, 2] + _BIAS) & 0x1FFFFF))
+    batch = np.repeat(np.arange(b, dtype=np.int64), v)
+    primary = np.where(flat_valid, batch, np.int64(b))  # dead rows last
+    order = np.lexsort((key, primary)).astype(np.int32)
+
+    pad_to = -(-n // tile) * tile
+    padn = pad_to - n
+    key_s = np.concatenate([key[order], np.zeros(padn, np.int64)])
+    prim_s = np.concatenate([primary[order], np.full(padn, b + 1, np.int64)])
+    live = np.concatenate([flat_valid[order], np.zeros(padn, bool)])
+
+    # run starts: dead/pad rows are each their own window
+    same = live[1:] & live[:-1] & (key_s[1:] == key_s[:-1]) \
+        & (prim_s[1:] == prim_s[:-1])
+    new = np.concatenate([[True], ~same])
+    rank = np.cumsum(new, dtype=np.int64) - 1
+    idx = np.arange(pad_to, dtype=np.int64)
+    start = np.maximum.accumulate(np.where(new, idx, 0))
+    last = np.concatenate([new[1:], [True]])
+    end = np.minimum.accumulate(
+        np.where(last, idx + 1, pad_to)[::-1])[::-1]
+    kmin = start[::tile].astype(np.int32)
+    kmax = np.maximum(end[tile - 1::tile].astype(np.int32), kmin + 1)
+
+    inv = np.empty(n, np.int32)
+    inv[order] = np.arange(n, dtype=np.int32)
+    order_p = np.concatenate([order, np.zeros(padn, np.int32)])
+    quant_s = np.concatenate(
+        [quant.reshape(-1, 3)[order], np.zeros((padn, 3), np.int32)]
+    )
+    if live.any():
+        occ = np.bincount(rank[live]).max()
+    else:
+        occ = 0
+    out = dict(order=order_p, inv=inv, rank=rank.astype(np.float32),
+               quant=quant_s.astype(np.int32), kmin=kmin, kmax=kmax,
+               occ=np.asarray([occ], np.int32))
+    if radial:
+        r = coords[..., 2].astype(np.float32).reshape(-1)[order]
+        out["r"] = np.concatenate([r, np.zeros(padn, np.float32)])
+    return out
+
+
+def batch_window_geometry(voxxyz: Sequence[np.ndarray],
+                          vmask: Sequence[np.ndarray],
+                          params: Dict) -> Dict[str, list]:
+    """Window geometry for encoder levels 1..4 of one batch.
+
+    voxxyz/vmask: per-level [B, V_L, 3] / [B, V_L] stacked host-plumbing
+    arrays (level 0 is unused — SphereFormer runs after each downsample).
+    Returns {"cubic": [...], "sphere": [...]} with one geometry dict per
+    level entry in ``params["levels"]``.
+    """
+    tile = int(params["tile"])
+    out = {"cubic": [], "sphere": []}
+    for li, p in enumerate(params["levels"], start=1):
+        xyz = np.asarray(voxxyz[li], np.float32)
+        mask = np.asarray(vmask[li]).astype(bool)
+        out["cubic"].append(
+            _branch_geometry(xyz, mask, p["ws"], p["qs"], tile, radial=False)
+        )
+        sph = cart2sphere(xyz)
+        out["sphere"].append(
+            _branch_geometry(sph, mask, p["wss"], p["qss"], tile, radial=True)
+        )
+    return out

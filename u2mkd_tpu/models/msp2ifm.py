@@ -32,7 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from u2mkd_tpu.models import blocks, fusion
-from u2mkd_tpu.models.plumbing import UNetPlumbing, point_to_voxel, voxel_to_point
+from u2mkd_tpu.models.plumbing import (
+    UNetPlumbing, level_geom, point_to_voxel, voxel_to_point,
+)
 from u2mkd_tpu.models.sphereformer import SphereFormerBlock
 from u2mkd_tpu.models.swiftnet import (
     BNReluConv, SwiftNetResNet, resize_bilinear_align_corners,
@@ -129,7 +131,8 @@ class SPVCNNSwiftNetMSP2IFM(nn.Module):
                     use_flash=self.pallas_attention,
                     flash_cubic=self.pallas_cubic,
                     name=f"sphereformer{idx + 1}",
-                )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train)
+                )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train,
+                  geom=level_geom(plumbing, idx))
             wsc, wss_scale = self.window_size_scale
             ws = [w * wsc for w in ws]
             qs = [q * wsc for q in qs]

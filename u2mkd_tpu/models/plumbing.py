@@ -22,7 +22,9 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from u2mkd_tpu.core.structures import LevelContext, VoxelGrid
+from typing import Optional
+
+from u2mkd_tpu.core.structures import LevelContext, VoxelGrid, WindowGeom
 from u2mkd_tpu.ops import hashing, spconv, voxelize
 
 
@@ -35,6 +37,9 @@ class UNetPlumbing(flax.struct.PyTreeNode):
     vox_xyz: Tuple[jax.Array, ...]     # [L] x [B, V_L, 3] mean metric xyz
     pmask: jax.Array                   # [B, P]
     p2v0_feats_seg: jax.Array          # [B, P] segment ids for initial voxelize
+    # host-precomputed window geometry for encoder levels 1..4
+    # ({"cubic": (WindowGeom, ...), "sphere": (...)}) — None -> in-jit geometry
+    wgeom: Optional[dict] = None
 
 
 def _build_single(pcoords, metric_xyz, pmask, capacities):
@@ -127,11 +132,47 @@ def from_precomputed(arrays, pmask: jax.Array) -> UNetPlumbing:
         v0_to_v.append(None)  # not needed: vox_xyz precomputed
     cap0 = arrays["vmask"][0].shape[-1]
     p2v0 = jnp.where(p2v[0] >= 0, p2v[0], cap0)
+    wgeom = None
+    if "wgeom" in arrays:
+        wgeom = {
+            branch: tuple(
+                _window_geom_from_arrays(g) for g in arrays["wgeom"][branch]
+            )
+            for branch in arrays["wgeom"]
+        }
     return UNetPlumbing(
         levels=tuple(levels), p2v=tuple(p2v), devox_idx=tuple(dvi),
         devox_w=tuple(dvw), v0_to_v=tuple(v0_to_v), vox_xyz=tuple(vox_xyz),
-        pmask=pmask, p2v0_feats_seg=p2v0,
+        pmask=pmask, p2v0_feats_seg=p2v0, wgeom=wgeom,
     )
+
+
+def _window_geom_from_arrays(g: dict) -> WindowGeom:
+    """Assemble a WindowGeom from host-shipped arrays. A leading shard axis
+    of 1 (added by ``plumbing_host`` so the loader batch shards cleanly over
+    the data mesh axis) is squeezed here, inside the (possibly shard_map'd)
+    step."""
+
+    def un(x):
+        assert x.shape[0] == 1, (
+            "window geometry built for a different shard count: leading dim "
+            f"{x.shape[0]} != 1 — pass n_shards=<local device count> to "
+            "plumbing_host.batch_plumbing")
+        return x[0]
+
+    return WindowGeom(
+        order=un(g["order"]), inv=un(g["inv"]), rank=un(g["rank"]),
+        quant=un(g["quant"]), kmin=un(g["kmin"]), kmax=un(g["kmax"]),
+        occ=un(g["occ"]), r=un(g["r"]) if "r" in g else None,
+    )
+
+
+def level_geom(pl: UNetPlumbing, idx: int):
+    """Window geometry dict for encoder stage ``idx`` (U-Net level idx+1),
+    or None when the batch carries no host geometry."""
+    if pl.wgeom is None:
+        return None
+    return {branch: pl.wgeom[branch][idx] for branch in pl.wgeom}
 
 
 def point_to_voxel(pfeats: jax.Array, p2v: jax.Array, capacity: int) -> jax.Array:

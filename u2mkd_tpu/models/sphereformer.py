@@ -54,8 +54,12 @@ class SphereAttention(nn.Module):
     # flash kernel beats the vmap'd banded scan on the cubic branch too
 
     @nn.compact
-    def __call__(self, feats, xyz, mask):
-        """feats [B, V, C], xyz [B, V, 3] metric, mask [B, V]."""
+    def __call__(self, feats, xyz, mask, geom=None):
+        """feats [B, V, C], xyz [B, V, 3] metric, mask [B, V].
+
+        ``geom``: optional {"cubic": WindowGeom, "sphere": WindowGeom} of
+        host-precomputed window geometry (``data/wgeom_host.py``) — removes
+        every in-program sort and quantization from the flash path."""
         b, vcap, c = feats.shape
         h = self.num_heads
         d = c // h
@@ -140,30 +144,37 @@ class SphereAttention(nn.Module):
                 rpe=rpe, tile=self.tile,
             )
 
+        def pregeom(qb, kb, vb, branch, tq, tk, tv, g, a):
+            from u2mkd_tpu.ops.pallas import wattn_kernel as pk
+
+            return pk.flash_pregeom_batched(
+                qb, kb, vb, mask, geom[branch], tq, tk, tv,
+                grid_len=g, a=a, tile=self.tile,
+            )
+
+        q1 = q[:, :, :h1].astype(jnp.float32)
+        k1 = k[:, :, :h1].astype(jnp.float32)
+        v1 = v[:, :, :h1].astype(jnp.float32)
+        q2 = q[:, :, h1:].astype(jnp.float32)
+        k2 = k[:, :, h1:].astype(jnp.float32)
+        v2 = v[:, :, h1:].astype(jnp.float32)
+        has_geom = geom is not None
         if self.use_flash and self.flash_cubic:
-            out1 = cubic_flash(
-                q[:, :, :h1].astype(jnp.float32),
-                k[:, :, :h1].astype(jnp.float32),
-                v[:, :, :h1].astype(jnp.float32),
-            )
+            if has_geom:
+                out1 = pregeom(q1, k1, v1, "cubic", tq_c, tk_c, tv_c,
+                               g_cub, 0.0)
+            else:
+                out1 = cubic_flash(q1, k1, v1)
         else:
-            out1 = jax.vmap(cubic_branch)(
-                q[:, :, :h1].astype(jnp.float32),
-                k[:, :, :h1].astype(jnp.float32),
-                v[:, :, :h1].astype(jnp.float32), xyz, mask,
-            )
+            out1 = jax.vmap(cubic_branch)(q1, k1, v1, xyz, mask)
         if self.use_flash:
-            out2 = sphere_flash(
-                q[:, :, h1:].astype(jnp.float32),
-                k[:, :, h1:].astype(jnp.float32),
-                v[:, :, h1:].astype(jnp.float32),
-            )
+            if has_geom:
+                out2 = pregeom(q2, k2, v2, "sphere", tq_s, tk_s, tv_s,
+                               g_sph, self.a)
+            else:
+                out2 = sphere_flash(q2, k2, v2)
         else:
-            out2 = jax.vmap(sphere_branch)(
-                q[:, :, h1:].astype(jnp.float32),
-                k[:, :, h1:].astype(jnp.float32),
-                v[:, :, h1:].astype(jnp.float32), xyz, mask,
-            )
+            out2 = jax.vmap(sphere_branch)(q2, k2, v2, xyz, mask)
         out = jnp.concatenate([out1, out2], axis=2).reshape(b, vcap, c)
         out = nn.Dense(c, name="proj")(out)
         return jnp.where(mask[..., None], out, 0.0)
@@ -191,7 +202,7 @@ class SphereFormerBlock(nn.Module):
     flash_cubic: bool = True
 
     @nn.compact
-    def __call__(self, feats, xyz, mask, train: bool):
+    def __call__(self, feats, xyz, mask, train: bool, geom=None):
         short = feats
         x = nn.LayerNorm(name="norm1")(feats)
         x = SphereAttention(
@@ -203,7 +214,7 @@ class SphereFormerBlock(nn.Module):
             a=self.a, band_cubic=self.band_cubic, band_sphere=self.band_sphere,
             tile=self.tile, use_flash=self.use_flash,
             flash_cubic=self.flash_cubic, name="attn",
-        )(x, xyz, mask)
+        )(x, xyz, mask, geom=geom)
         x = short + DropPath(self.drop_path, name="drop_path1")(x, train)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from u2mkd_tpu.models import blocks
+from u2mkd_tpu.models import plumbing as P
 from u2mkd_tpu.models.plumbing import UNetPlumbing, point_to_voxel, voxel_to_point
 
 
@@ -103,7 +104,8 @@ class SPVCNN(nn.Module):
                     use_flash=self.pallas_attention,
                     flash_cubic=self.pallas_cubic,
                     name=f"sphereformer{idx + 1}",
-                )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train)
+                )(f, plumbing.vox_xyz[idx + 1], lv[idx + 1].grid.mask, train,
+                  geom=P.level_geom(plumbing, idx))
                 wsc, wss_scale = self.window_size_scale
                 ws = [w * wsc for w in ws]
                 qs = [q * wsc for q in qs]

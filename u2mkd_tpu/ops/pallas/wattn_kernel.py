@@ -1127,6 +1127,55 @@ def sparse_window_attention_flash(
     return _flash_from_keys(q, k, v, whi, wlo, valid, rpe, tile, interpret)
 
 
+def flash_pregeom_batched(
+    q, k, v,            # [B, V, h, d]
+    valid,              # [B, V] bool
+    geom,               # core.structures.WindowGeom (host-precomputed)
+    table_q, table_k, table_v,
+    grid_len: int, a: float = 0.0125,
+    tile: int = 128, interpret: Optional[bool] = None,
+):
+    """Flash window attention over HOST-precomputed geometry.
+
+    Functionally identical to ``sparse_window_attention_flash_batched`` but
+    with every sort / segment scan / quantization moved off-device (see
+    ``data/wgeom_host.py``): the program is gather -> kernel -> gather.
+    This is the round-3 fix for the in-context attention serialization
+    (PERF.md round-2 investigation): the in-program sorts and index math
+    around the custom calls were defeating XLA's async overlap.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, vcap, h, d = q.shape
+    n = b * vcap
+    radial = geom.r is not None
+    g = int(grid_len)
+    cfg = FlashRPEConfig(
+        tile=tile, h=h, d=d, g=g, l2=int(table_q.shape[0]),
+        n_diff=2 if radial else 3, radial=radial,
+        lr=2 * g if radial else 0, a=float(a), interpret=interpret,
+    )
+    pad_to = geom.rank.shape[0]
+    assert geom.order.shape[0] == pad_to and pad_to % tile == 0
+
+    def flat(x):
+        return x.reshape((n,) + x.shape[2:])
+
+    # order is host-padded to pad_to (pads point at row 0 but carry a unique
+    # window rank, so they attend nothing live and are never read back)
+    qs = flat(q)[geom.order]
+    ks = flat(k)[geom.order]
+    vs = flat(v)[geom.order]
+    aux = jnp.zeros((pad_to, 128), jnp.float32).at[:, 0].set(geom.rank)
+    if radial:
+        aux = aux.at[:, 1].set(geom.r)
+    out_s = _flash_rpe_sorted(cfg, qs, ks, vs, table_q, table_k, table_v,
+                              geom.quant, aux, geom.kmin, geom.kmax)
+    res = out_s[geom.inv]
+    res = jnp.where(flat(valid)[:, None, None], res, 0.0).astype(q.dtype)
+    return res.reshape(b, vcap, h, d)
+
+
 def sparse_window_attention_flash_batched(
     q, k, v, xyz, valid, window_size, shift: bool = False,
     rpe=None, tile: int = 128, interpret: Optional[bool] = None,

@@ -69,6 +69,16 @@ def format_iou_table(per_class: np.ndarray, miou: float,
     return "\n".join(lines)
 
 
+class _NullSummary:
+    """No-op writer for non-master processes in multihost runs."""
+
+    def add_scalar(self, name, value, step):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     """Generic epoch loop over jitted train/eval steps.
 
@@ -98,8 +108,12 @@ class Trainer:
         logits_key: str = "logits",
         strict_capacity: bool = False,
     ):
+        # multihost: only process 0 writes summaries/checkpoints into the
+        # (possibly shared) run_dir; collective calls still run everywhere
+        self.is_master = jax.process_index() == 0
         self.run_dir = os.path.abspath(run_dir)
-        os.makedirs(self.run_dir, exist_ok=True)
+        if self.is_master:
+            os.makedirs(self.run_dir, exist_ok=True)
         self.state = state
         self.train_step = train_step
         self.eval_step = eval_step
@@ -112,7 +126,8 @@ class Trainer:
         self.class_names = class_names
         self.eval_counts_key = eval_counts_key
         self.extra_count_keys = tuple(extra_count_keys)
-        self.summary = SummaryWriter(self.run_dir)
+        self.summary = (SummaryWriter(self.run_dir) if self.is_master
+                        else _NullSummary())
         self.ckpt = CheckpointManager(self.run_dir, epoch_to_save=epoch_to_save)
         self.log_every = log_every
         self.rng = jax.random.PRNGKey(seed)
@@ -205,8 +220,10 @@ class Trainer:
             for k, v in results.items():
                 self.summary.add_scalar(f"val/{k}", v, self.global_step)
             miou = results[self.eval_counts_key]
-            self.ckpt.save_latest(self.state, epoch)
-            improved = self.ckpt.save_best(self.state, miou)
+            improved = False
+            if self.is_master:
+                self.ckpt.save_latest(self.state, epoch)
+                improved = self.ckpt.save_best(self.state, miou)
             print(
                 f"epoch {epoch}/{self.num_epochs}: steps={n_steps} "
                 f"miou={miou * 100:.2f}{' (best)' if improved else ''} "

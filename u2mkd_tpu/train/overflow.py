@@ -68,22 +68,39 @@ def stats_for_model(model, pl, tile: int = 128, band_cubic: int = 1,
         out[f"overflow/vox_fill_l{li}"] = count / cap
         violations += (count >= cap).astype(jnp.int32)
     if getattr(model, "sphereformer", True):
-        windows = _level_windows(model)
         flash = bool(getattr(model, "pallas_attention", False))
-        for li in range(1, min(len(pl.levels), 5)):
-            ws, wss = windows[li - 1]
-            xyz = pl.vox_xyz[li]
-            mask = pl.levels[li].grid.mask
-            occ_c = jnp.max(jax.vmap(
-                lambda x, m: max_window_occupancy(x, m, ws))(xyz, mask))
-            sph = jax.vmap(wattn.cart2sphere)(xyz)
-            occ_s = jnp.max(jax.vmap(
-                lambda x, m: max_window_occupancy(x, m, wss))(sph, mask))
-            out[f"overflow/occ_cubic_l{li}"] = occ_c
-            out[f"overflow/occ_sphere_l{li}"] = occ_s
-            violations += (occ_c > band_cubic * tile).astype(jnp.int32)
-            if not flash:
-                violations += (occ_s > band_sphere * tile).astype(jnp.int32)
+        # the flash kernel is exact at ANY occupancy; only the banded XLA
+        # paths truncate. With pallas_attention on, the cubic branch runs
+        # flash too unless pallas_cubic is off.
+        flash_cubic = flash and bool(getattr(model, "pallas_cubic", True))
+        if pl.wgeom is not None:
+            # host-precomputed geometry carries exact occupancies for free
+            for li in range(1, min(len(pl.levels), 5)):
+                occ_c = jnp.max(pl.wgeom["cubic"][li - 1].occ)
+                occ_s = jnp.max(pl.wgeom["sphere"][li - 1].occ)
+                out[f"overflow/occ_cubic_l{li}"] = occ_c
+                out[f"overflow/occ_sphere_l{li}"] = occ_s
+                if not flash_cubic:
+                    violations += (occ_c > band_cubic * tile).astype(jnp.int32)
+                if not flash:
+                    violations += (occ_s > band_sphere * tile).astype(jnp.int32)
+        else:
+            windows = _level_windows(model)
+            for li in range(1, min(len(pl.levels), 5)):
+                ws, wss = windows[li - 1]
+                xyz = pl.vox_xyz[li]
+                mask = pl.levels[li].grid.mask
+                occ_c = jnp.max(jax.vmap(
+                    lambda x, m: max_window_occupancy(x, m, ws))(xyz, mask))
+                sph = jax.vmap(wattn.cart2sphere)(xyz)
+                occ_s = jnp.max(jax.vmap(
+                    lambda x, m: max_window_occupancy(x, m, wss))(sph, mask))
+                out[f"overflow/occ_cubic_l{li}"] = occ_c
+                out[f"overflow/occ_sphere_l{li}"] = occ_s
+                if not flash_cubic:
+                    violations += (occ_c > band_cubic * tile).astype(jnp.int32)
+                if not flash:
+                    violations += (occ_s > band_sphere * tile).astype(jnp.int32)
     out["overflow/violations"] = violations
     return out
 

@@ -32,18 +32,27 @@ def create_train_state(model, tx, sample_batch, capacities, rng) -> TrainState:
     # individual ops (catastrophic on remote-device backends)
     @jax.jit
     def init_fn(batch, rng):
-        pl = P.build_plumbing(
-            batch["pcoords"], batch["xyz"], batch["pmask"], capacities
-        )
+        pl = get_plumbing(batch, capacities)
         return model.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             batch["feats"], pl, True,
         )
 
+    keys = ["pcoords", "xyz", "pmask", "feats"]
+    if "plumbing" in sample_batch:
+        keys.append("plumbing")
     sample = {
-        k: jnp.asarray(sample_batch[k])
-        for k in ("pcoords", "xyz", "pmask", "feats")
+        k: jax.tree_util.tree_map(jnp.asarray, sample_batch[k]) for k in keys
     }
+    if "plumbing" in sample and "wgeom" in sample["plumbing"]:
+        wg = sample["plumbing"]["wgeom"]
+        if next(iter(wg.values()))[0]["order"].shape[0] != 1:
+            # geometry was sharded for the DP mesh; init runs unsharded and
+            # the attention params don't depend on the geometry path
+            sample = dict(sample)
+            sample["plumbing"] = {
+                k: v for k, v in sample["plumbing"].items() if k != "wgeom"
+            }
     variables = init_fn(sample, rng)
     params = variables["params"]
     return TrainState(

@@ -47,7 +47,10 @@ def main():
     else:
         from u2mkd_tpu.data import loaders
 
-        _, val_loader = loaders.make_loaders(cfg)
+        # num_vote > 1 turns on per-pass val augmentation so each vote sums
+        # logits over a genuinely different view (reference
+        # nusc_trainers.py:441-550); vote 1 keeps the clean val pipeline
+        _, val_loader = loaders.make_loaders(cfg, tta_val=args.num_vote > 1)
 
     sample = next(iter(val_loader()))
     st = train_state.create_train_state(

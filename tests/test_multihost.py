@@ -65,6 +65,109 @@ print(f"RESULT pid={pid} loss={loss:.8f} wsum={ck:.8f}", flush=True)
 """
 
 
+_DISTILL_WORKER = r"""
+import os, sys
+import numpy as np
+os.environ.pop("XLA_FLAGS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+port, pid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, sys.argv[3])
+from u2mkd_tpu.parallel import mesh as pmesh
+
+pmesh.initialize_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+assert jax.device_count() == 4
+
+import jax.numpy as jnp
+from u2mkd_tpu.data import synthetic
+from u2mkd_tpu.models.tsd import TSDFull
+from u2mkd_tpu.train import distill, optim
+
+S_CAPS = (128, 64, 32, 16, 8)
+T_CAPS = (192, 96, 48, 24, 12)
+mesh = pmesh.make_global_mesh()
+
+# same global batch drawn on both processes; keep this process's half
+rng = np.random.RandomState(0)
+raw = synthetic.make_multimodal_batch(rng, 4, 128, 192, voxel_size=0.3,
+                                      num_cams=2, im_hw=(16, 24))
+lo, hi = pid * 2, (pid + 1) * 2
+local = jax.tree_util.tree_map(lambda x: x[lo:hi], raw)
+batch = pmesh.shard_host_batch(local, mesh)
+
+def build(axis):
+    return TSDFull(num_classes=5, cr=0.25, cr_t=0.25, head_dim=4,
+                   window_size=(1.2, 1.2, 1.2),
+                   quant_size=(0.15, 0.15, 0.15),
+                   window_size_sphere=(30.0, 30.0, 120.0),
+                   quant_size_sphere=(3.75, 3.75, 5.0),
+                   axis_name=axis)
+
+model = build(pmesh.DATA_AXIS)
+tx = distill.make_frozen_teacher_optimizer(optim.make_optimizer("sgd", 0.01))
+lb = jax.tree_util.tree_map(jnp.asarray, local)
+# init with the axis-free twin (outside shard_map), like the CLIs
+st = distill.create_distill_state(build(None), tx, lb["student"],
+                                  lb["teacher"], S_CAPS, T_CAPS,
+                                  jax.random.PRNGKey(0))
+step = pmesh.data_parallel_step(
+    distill.make_distill_train_step(model, tx, S_CAPS, T_CAPS,
+                                    axis_name=pmesh.DATA_AXIS), mesh)
+st, aux = step(st, batch, jax.random.PRNGKey(1))
+st, aux = step(st, batch, jax.random.PRNGKey(1))
+loss = float(aux["loss"])
+ck = float(sum(np.abs(np.asarray(x)).sum()
+               for x in jax.tree_util.tree_leaves(
+                   jax.device_get(st.params["model_s"]))))
+assert np.isfinite(loss)
+print(f"RESULT pid={pid} loss={loss:.8f} psum={ck:.6f}", flush=True)
+"""
+
+
+def _run_two(worker_src, tmp_path, timeout=2700):
+    worker = tmp_path / "worker.py"
+    worker.write_text(worker_src)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(i), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
+        parts = dict(kv.split("=") for kv in line.split()[1:])
+        results[int(parts["pid"])] = tuple(
+            float(v) for k, v in parts.items() if k != "pid"
+        )
+    return results
+
+
+def test_two_process_distill(tmp_path):
+    """Stage-2 parity with stage-1 infrastructure (VERDICT r2 #5): the full
+    TSD distillation step runs under a 2-process global mesh with psum'd
+    grads; loss and updated student params agree across processes."""
+    results = _run_two(_DISTILL_WORKER, tmp_path)
+    assert results[0] == results[1], results
+
+
 def test_two_process_dp(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

@@ -34,11 +34,16 @@ def test_trainer_raw_eval_integration(rng):
     """Trainer._raw_point_counts over a fabricated eval output."""
     from u2mkd_tpu.train.loop import Trainer
 
+    from u2mkd_tpu.train.loop import RawSpec
+
     class Dummy(Trainer):
         def __init__(self):
             self.num_classes = 4
             self.ignore_label = 0
             self.logits_key = "logits"
+            self.raw_specs = [
+                RawSpec("counts", "logits", None, "keyframe_mask_full")
+            ]
 
     t = Dummy()
     logits = np.zeros((1, 2, 4), np.float32)
@@ -53,7 +58,7 @@ def test_trainer_raw_eval_integration(rng):
         }],
     }
     out = {"logits": jnp.asarray(logits)}
-    counts = t._raw_point_counts(out, batch)
+    counts = t._raw_point_counts(out, batch, t.raw_specs[0])
     # kept raw points: 0 (lab 1, pred 1 OK), 1 (lab 2, pred 2 OK),
     # 2 (lab 1, pred 1 OK); point 3 dropped by keyframe mask
     np.testing.assert_array_equal(counts["seen"], [0, 2, 1, 0])

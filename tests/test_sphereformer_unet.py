@@ -10,6 +10,41 @@ from u2mkd_tpu.models.sphereformer_unet import SphereFormerSemantic
 CAPS = (256, 128, 64, 32, 16)
 
 
+def test_recursive_vox_xyz_oracle(rng):
+    """Recursive mean-of-means coordinate tracking (reference
+    ``unet_spherical_transformer.py:223-247``: scatter_mean of the finer
+    level's xyz over the downsample kmap pairs) vs a numpy recursion over
+    the same rulebooks — and it must DIFFER from the flat level-0 mean on
+    non-uniform occupancy (the round-2 simplification it replaces)."""
+    b, p = 2, 400
+    xyz = (rng.rand(b, p, 3) * 10 - 5).astype(np.float32)
+    pcoords = xyz / 0.25  # fine voxels -> skewed child counts per parent
+    mask = np.ones((b, p), bool)
+    pl = P.build_plumbing(jnp.asarray(pcoords), jnp.asarray(xyz),
+                          jnp.asarray(mask), CAPS)
+    rec = [np.asarray(x) for x in P.recursive_vox_xyz(pl)]
+
+    for bi in range(b):
+        prev = np.asarray(pl.vox_xyz[0][bi])
+        for li in range(1, len(CAPS)):
+            nbr = np.asarray(pl.levels[li].down_nbr8[bi])   # [8, V]
+            lmask = np.asarray(pl.levels[li].grid.mask[bi])
+            expect = np.zeros((CAPS[li], 3), np.float32)
+            for v in range(CAPS[li]):
+                if not lmask[v]:
+                    continue
+                rows = nbr[:, v]
+                rows = rows[rows >= 0]
+                expect[v] = prev[rows].mean(axis=0)
+            np.testing.assert_allclose(rec[li][bi], expect,
+                                       rtol=1e-5, atol=1e-5)
+            prev = expect
+        # differs from the flat mean beyond level 1 on skewed occupancy
+        flat = np.asarray(pl.vox_xyz[2][bi])
+        lmask2 = np.asarray(pl.levels[2].grid.mask[bi])
+        assert not np.allclose(rec[2][bi][lmask2], flat[lmask2], atol=1e-4)
+
+
 def test_unet_forward(rng):
     b, p = 1, 250
     xyz = (rng.rand(b, p, 3) * 8 - 4).astype(np.float32)

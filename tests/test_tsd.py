@@ -67,6 +67,58 @@ def test_distill_train_step(rng):
     assert not np.allclose(s_leaf_before, s_leaf_after)
 
 
+def test_student_raw_point_eval_counts(rng, tmp_path):
+    """Student eval devoxelizes vox+pix logits to the raw cloud before
+    scoring (reference nusc_trainers.py:368-390): Trainer raw counters must
+    match a hand-devoxelized per-point oracle, both heads."""
+    from u2mkd_tpu.train.loop import RawSpec, Trainer
+
+    ncls, n_raw, cap = 4, 50, 16
+    inverse = rng.randint(0, 12, n_raw).astype(np.int32)
+    inverse[:12] = np.arange(12)  # every voxel row referenced
+    labels_full = rng.randint(0, ncls, n_raw).astype(np.int32)
+    fov_full = rng.rand(n_raw) < 0.6
+    pmask = np.zeros((1, cap), bool)
+    pmask[0, :12] = True
+    logits_vox = rng.randn(1, cap, ncls).astype(np.float32)
+    logits_pix = rng.randn(1, cap, ncls).astype(np.float32)
+    info = dict(inverse_map=inverse, labels_full=labels_full,
+                fov_full=fov_full)
+    batch = {"student": {"pmask": pmask},
+             "infos": [{"student": info, "teacher": None}]}
+    out = {"logits": jnp.asarray(logits_vox),
+           "logits_pix": jnp.asarray(logits_pix)}
+
+    tr = Trainer(
+        run_dir=str(tmp_path), state=None, train_step=None, eval_step=None,
+        train_loader=None, val_loader=None, num_epochs=0, num_classes=ncls,
+        ignore_label=0,
+        raw_specs=[RawSpec("counts_vox", "logits", "student", None),
+                   RawSpec("counts_pix", "logits_pix", "student", "fov_full")],
+    )
+    got_vox = tr._raw_point_counts(out, batch, tr.raw_specs[0])
+    got_pix = tr._raw_point_counts(out, batch, tr.raw_specs[1])
+
+    for got, logits, extra in ((got_vox, logits_vox, None),
+                               (got_pix, logits_pix, fov_full)):
+        seen = np.zeros(ncls, np.int64)
+        correct = np.zeros(ncls, np.int64)
+        positive = np.zeros(ncls, np.int64)
+        for p in range(n_raw):
+            if labels_full[p] == 0:
+                continue
+            if extra is not None and not extra[p]:
+                continue
+            pred = int(np.argmax(logits[0, inverse[p]]))
+            seen[labels_full[p]] += 1
+            positive[pred] += 1
+            if pred == labels_full[p]:
+                correct[pred] += 1
+        np.testing.assert_array_equal(got["seen"], seen)
+        np.testing.assert_array_equal(got["positive"], positive)
+        np.testing.assert_array_equal(got["correct"], correct)
+
+
 def test_distill_eval_and_lidar_only(rng):
     batch = _batch(rng)
     model = _model()

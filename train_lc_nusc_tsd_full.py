@@ -20,6 +20,14 @@ def main():
     parser.add_argument("--run-dir", required=True)
     parser.add_argument("--weight-path", default=None)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host run: jax.distributed.initialize, "
+                             "global device mesh, per-process data shards "
+                             "(stage-2 scale-out mirrors stage 1, reference "
+                             "train_lc_nusc_tsd_full.py:83-84)")
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("opts", nargs="*")
     args = parser.parse_args()
 
@@ -35,6 +43,13 @@ def main():
 
     cfg = config_lib.load(args.config)
     config_lib.update_dotted(cfg, args.opts)
+
+    if args.multihost:
+        pmesh.initialize_distributed(args.coordinator, args.num_processes,
+                                     args.process_id)
+        config_lib.update_dotted(cfg, ["train.multihost=true"])
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}")
 
     n_dev = jax.device_count()
     use_dp = n_dev > 1 and cfg.batch_size % n_dev == 0
@@ -115,19 +130,27 @@ def main():
     )
     debug_val = bool(cfg.get_path("debug.debug_val", False))
     extra_counts = ("counts_pix",) + (("counts_teacher",) if debug_val else ())
+    ovf = bool(cfg.get_path("train.overflow_checks", True))
+    remat = bool(cfg.get_path("train.remat", False))
     if use_dp:
-        mesh = pmesh.make_mesh()
+        mesh = (pmesh.make_global_mesh() if args.multihost
+                else pmesh.make_mesh())
         step = pmesh.data_parallel_step(
             distill.make_distill_train_step(model, tx, s_caps, t_caps,
-                                            axis_name=axis, **kw), mesh
+                                            axis_name=axis, remat=remat,
+                                            overflow_checks=ovf, **kw), mesh
         )
-        ev = jax.jit(
-            distill.make_distill_eval_step(model_init, s_caps, t_caps, ncls,
-                                           ignore, run_teacher=debug_val)
+        ev = pmesh.data_parallel_distill_eval(
+            distill.make_distill_eval_step(model, s_caps, t_caps, ncls,
+                                           ignore, axis_name=axis,
+                                           run_teacher=debug_val),
+            mesh, run_teacher=debug_val,
         )
     else:
         step = jax.jit(
-            distill.make_distill_train_step(model, tx, s_caps, t_caps, **kw)
+            distill.make_distill_train_step(model, tx, s_caps, t_caps,
+                                            remat=remat, overflow_checks=ovf,
+                                            **kw)
         )
         ev = jax.jit(
             distill.make_distill_eval_step(model, s_caps, t_caps, ncls,
@@ -141,7 +164,16 @@ def main():
         seed=cfg.train.seed % (2**31), ignore_label=ignore,
         eval_counts_key="counts_vox", extra_count_keys=extra_counts,
         epoch_to_save=cfg.get_path("epoch_to_save", 0),
-        eval_raw_points=False,
+        # raw-cloud eval parity with the reference (nusc_trainers.py:368-390):
+        # devoxelize vox logits to all raw points and pix logits to raw FOV
+        # points before scoring. Falls back to padded-voxel scoring when the
+        # batch carries no info (synthetic loaders).
+        eval_raw_points=bool(cfg.get_path("eval.raw_points", True)),
+        raw_specs=[
+            loop.RawSpec("counts_vox", "logits", "student", None),
+            loop.RawSpec("counts_pix", "logits_pix", "student", "fov_full"),
+        ],
+        strict_capacity=bool(cfg.get_path("train.strict_capacity", False)),
     )
     trainer.train()
 

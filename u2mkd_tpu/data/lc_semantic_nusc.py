@@ -174,6 +174,12 @@ class LCSemanticNuscTSD(SemanticNusc):
         fov[:m] = fov_full[inds_s]
         s_feed["fov_mask"] = fov
         s_feed["images"] = images
+        # raw-cloud eval info: the reference devoxelizes student vox+pix
+        # logits back to the raw points via inverse_map before scoring
+        # (nusc_trainers.py:368-390); fov_full restricts the pixel head
+        s_info["fov_full"] = fov_full
+        s_feed["info"] = s_info
+        t_feed["info"] = t_info
 
         # ---- composed teacher->student map ----
         # teacher raw cloud = [keyframe pts, sweeps...]; student point i's raw

@@ -106,8 +106,12 @@ def _wgeom_params(cfg):
     return wgeom_host.params_from_cfg(cfg)
 
 
-def make_loaders(cfg, seed: int = 0):
-    """Uni-modal loaders (semantic_nusc / semantic_kitti)."""
+def make_loaders(cfg, seed: int = 0, tta_val: bool = False):
+    """Uni-modal loaders (semantic_nusc / semantic_kitti).
+
+    ``tta_val=True`` builds the val dataset with per-pass augmentation so
+    each vote of a multi-vote evaluation sees a freshly augmented copy with
+    a fixed sample order (reference ``nusc_trainers.py:441-550``)."""
     import jax.numpy as jnp
 
     name = cfg.dataset.name
@@ -126,6 +130,7 @@ def make_loaders(cfg, seed: int = 0):
                 if split == "train" else None,
                 seed=seed,
                 allow_unofficial_split=d.get("allow_unofficial_split", False),
+                tta=tta_val and split == "val",
             )
         collate_fn = collate
     elif name == "semantic_kitti":
@@ -216,6 +221,7 @@ def make_distill_loaders(cfg, seed: int = 0):
 
     wparams = _wgeom_params(cfg) if use_host else None
     n_shards = dp_shard_count(cfg)
+    multihost = bool(cfg.get_path("train.multihost", False))
 
     def add_plumbing(batch):
         if use_host:
@@ -229,23 +235,34 @@ def make_distill_loaders(cfg, seed: int = 0):
                 )
         return batch
 
-    def to_device(batch):
-        import jax.numpy as jnp
+    if multihost:
+        # stage-2 scale-out mirrors stage 1 (reference trains the student
+        # under the same DDP wrap, train_lc_nusc_tsd_full.py:83-84)
+        from u2mkd_tpu.parallel import mesh as pmesh
 
-        return jax.tree_util.tree_map(
-            lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v, batch
-        )
+        gmesh = pmesh.make_global_mesh()
+
+        def to_device(batch):
+            return pmesh.shard_host_batch(batch, gmesh)
+    else:
+        def to_device(batch):
+            import jax.numpy as jnp
+
+            return jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
+                batch,
+            )
 
     from u2mkd_tpu.data.prefetch import prefetched_loader
 
     def train_loader():
         for b in _epoch_iter(train_ds, cfg.batch_size, collate_tsd, True, rng,
-                             lambda x: x):
+                             lambda x: x, process_shard=multihost):
             yield to_device(add_plumbing(b))
 
     def val_loader():
         for b in _epoch_iter(val_ds, cfg.batch_size, collate_tsd, False, rng,
-                             lambda x: x):
+                             lambda x: x, process_shard=multihost):
             yield to_device(add_plumbing(b))
 
     depth = int(cfg.get_path("prefetch_depth", 2))

@@ -68,6 +68,7 @@ class SemanticNusc:
         inst_augmenter=None,
         seed: int = 0,
         allow_unofficial_split: bool = False,
+        tta: bool = False,
     ):
         self.nusc = NuScenesTables(root, version)
         self.root = root
@@ -77,8 +78,13 @@ class SemanticNusc:
         self.num_sweeps = num_sweeps
         self.only_past = only_past
         self.train = split == "train"
-        self.flip_aug = flip_aug and self.train
-        self.rotate_aug = rotate_aug and self.train
+        # tta: fresh flip/rotate-scale per pass over the val split, so
+        # multi-vote evaluation sums logits over genuinely different views
+        # (reference NuScenes_Evaluator, nusc_trainers.py:441-550)
+        self.tta = tta and not self.train
+        aug_on = self.train or self.tta
+        self.flip_aug = flip_aug and aug_on
+        self.rotate_aug = rotate_aug and aug_on
         self.translate_std = translate_std if self.train else None
         self.inst_augmenter = inst_augmenter if self.train else None
         self.samples = nusc_splits.select_samples(

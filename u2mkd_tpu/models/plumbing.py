@@ -167,6 +167,29 @@ def _window_geom_from_arrays(g: dict) -> WindowGeom:
     )
 
 
+def recursive_vox_xyz(pl: UNetPlumbing) -> Tuple[jax.Array, ...]:
+    """Per-level voxel xyz by RECURSIVE mean-of-means through the downsample
+    rulebooks — the official SphereFormer U-Net's coordinate tracking
+    (reference ``unet_spherical_transformer.py:223-247``: ``scatter_mean``
+    of the finer level's xyz over the ks2/s2 conv kmap pairs), as opposed to
+    the flat level-0 mean in ``vox_xyz`` that SPVCNN_SPFORMER's ``zz``
+    PointTensor trick produces (``spvcnn_spformer.py:136-147``)."""
+    out = [pl.vox_xyz[0]]
+    for li in range(1, len(pl.levels)):
+        nbr = pl.levels[li].down_nbr8          # [B, 8, V] finer-level rows
+        mask = pl.levels[li].grid.mask
+
+        def one(prev_s, nbr_s, mask_s):
+            ok = nbr_s >= 0                                     # [8, V]
+            vals = prev_s[jnp.clip(nbr_s, 0)]                   # [8, V, 3]
+            s = jnp.sum(jnp.where(ok[..., None], vals, 0.0), axis=0)
+            c = jnp.sum(ok, axis=0)[..., None].astype(s.dtype)
+            return jnp.where(mask_s[..., None], s / jnp.maximum(c, 1.0), 0.0)
+
+        out.append(jax.vmap(one)(out[-1], nbr, mask))
+    return tuple(out)
+
+
 def level_geom(pl: UNetPlumbing, idx: int):
     """Window geometry dict for encoder stage ``idx`` (U-Net level idx+1),
     or None when the batch carries no host geometry."""

@@ -9,10 +9,12 @@ concatenation, and a ``Semantic`` wrapper (stem conv + U + norm-relu +
 linear head). The builder keeps this path available though the live teacher
 is ``SPVCNN_SPFORMER`` (reference ``builder.py:502-532``, commented out).
 
-Voxel-center xyz per level comes from the shared plumbing's level0-mean
-aggregation (the reference recursively scatter-means across levels via conv
-kmaps — a mean-of-means; ours is a flat mean over level-0 voxels, an
-intentional simplification with the same fixed point for uniform occupancy).
+Voxel-center xyz per level uses the reference's RECURSIVE mean-of-means
+tracking (``scatter_mean`` of the finer level's xyz over the downsample conv
+kmaps, ``unet_spherical_transformer.py:223-247``), computed by
+``plumbing.recursive_vox_xyz`` from the down rulebooks — NOT the flat
+level-0 mean the SPVCNN_SPFORMER teacher uses (that model's ``zz`` trick is
+the flat mean, which ``plumbing.vox_xyz`` matches).
 """
 
 from __future__ import annotations
@@ -70,7 +72,15 @@ class UBlock(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, feats, plumbing: UNetPlumbing, train: bool):
+    def __call__(self, feats, plumbing: UNetPlumbing, train: bool,
+                 vox_xyz=None):
+        """``vox_xyz``: per-level recursive mean-of-means voxel coordinates
+        (``plumbing.recursive_vox_xyz``), matching the reference's
+        scatter_mean-through-kmaps tracking
+        (``unet_spherical_transformer.py:223-247``). Falls back to the flat
+        level-0 means when not supplied."""
+        if vox_xyz is None:
+            vox_xyz = plumbing.vox_xyz
         lv = plumbing.levels[self.level_idx]
         for i in range(self.block_reps):
             feats = PreActResBlock(self.n_planes[0], self.axis_name,
@@ -86,7 +96,7 @@ class UBlock(nn.Module):
                 quant_size_sphere=self.quant_size_sphere,
                 drop_path=self.drop_path, a=self.a, axis_name=self.axis_name,
                 name="transformer_block",
-            )(feats, plumbing.vox_xyz[self.level_idx], lv.grid.mask, train)
+            )(feats, vox_xyz[self.level_idx], lv.grid.mask, train)
 
         if len(self.n_planes) > 1:
             nxt = plumbing.levels[self.level_idx + 1]
@@ -117,7 +127,7 @@ class UBlock(nn.Module):
                 block_reps=self.block_reps, head_dim=self.head_dim,
                 drop_path=self.drop_path, sphere_layers=self.sphere_layers,
                 a=self.a, axis_name=self.axis_name, name="u",
-            )(d, plumbing, train)
+            )(d, plumbing, train, vox_xyz=vox_xyz)
             # up: norm-relu-deconv(ks2/s2) back to this level's coords
             u = blocks.MaskedBatchNorm(child.shape[-1], axis_name=self.axis_name,
                                        name="up_bn")(child, nxt.grid.mask, train)
@@ -151,11 +161,14 @@ class SphereFormerSemantic(nn.Module):
 
     @nn.compact
     def __call__(self, pfeats, plumbing: UNetPlumbing, train: bool):
-        from u2mkd_tpu.models.plumbing import point_to_voxel, voxel_to_point
+        from u2mkd_tpu.models.plumbing import (
+            point_to_voxel, recursive_vox_xyz, voxel_to_point,
+        )
 
         lv0 = plumbing.levels[0]
         x = point_to_voxel(pfeats, plumbing.p2v0_feats_seg, lv0.grid.capacity)
         x = blocks.SparseConv(self.n_planes[0], 3, name="input_conv")(x, lv0.nbr27)
+        vox_xyz = recursive_vox_xyz(plumbing)
         x = UBlock(
             n_planes=self.n_planes, level_idx=0,
             window_size=self.window_size,
@@ -166,7 +179,7 @@ class SphereFormerSemantic(nn.Module):
             head_dim=self.head_dim, drop_path=self.drop_path_rate,
             sphere_layers=self.sphere_layers, a=self.a,
             axis_name=self.axis_name, name="unet",
-        )(x, plumbing, train)
+        )(x, plumbing, train, vox_xyz=vox_xyz)
         x = blocks.MaskedBatchNorm(self.n_planes[0], axis_name=self.axis_name,
                                    name="output_bn")(x, lv0.grid.mask, train)
         x = nn.relu(x)

@@ -56,20 +56,47 @@ def make_global_mesh(axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
+# batch keys that stay process-local: python lists of per-sample metadata
+# (ragged info dicts, string tokens) that the jitted step never sees
+HOST_LOCAL_KEYS = ("infos", "lidar_tokens")
+
+
 def shard_host_batch(batch, mesh: Mesh):
     """Per-process local batch -> globally sharded jax.Arrays.
 
     Each process feeds only its shard (its loaders see 1/num_processes of
     the data, like the reference's DistributedSampler,
     ``train_spformer.py:63-68``); ``make_array_from_process_local_data``
-    assembles the logical global batch without any cross-host copy."""
+    assembles the logical global batch without any cross-host copy.
+    Non-array leaves (``infos`` ragged dicts, ``lidar_tokens`` strings)
+    remain process-local — host-side consumers (raw-point eval) handle them
+    per process and reduce counters across processes."""
     sharding = NamedSharding(mesh, PS(DATA_AXIS))
 
-    def put(x):
+    def walk(x):
+        if isinstance(x, dict):
+            return {
+                k: v if k in HOST_LOCAL_KEYS else walk(v) for k, v in x.items()
+            }
+        if isinstance(x, (list, tuple)):
+            return type(x)(walk(v) for v in x)
         x = np.asarray(x)
         return jax.make_array_from_process_local_data(sharding, x)
 
-    return jax.tree_util.tree_map(put, batch)
+    return walk(batch)
+
+
+def local_data(x) -> np.ndarray:
+    """This process's contiguous block of a batch-sharded global array (its
+    own loader's samples, in order). Falls back to a plain device_get for
+    fully addressable arrays."""
+    if not hasattr(x, "addressable_shards") or x.is_fully_addressable:
+        return np.asarray(jax.device_get(x))
+    shards = sorted(
+        x.addressable_shards,
+        key=lambda s: (s.index[0].start or 0) if s.index else 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def local_batch_indices(n: int, seed_order: np.ndarray) -> np.ndarray:
@@ -107,6 +134,29 @@ def data_parallel_eval(eval_fn: Callable, mesh: Mesh) -> Callable:
         mesh=mesh,
         in_specs=(PS(), PS(DATA_AXIS)),
         out_specs={"pred": PS(DATA_AXIS), "counts": PS(), "logits": PS(DATA_AXIS)},
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def data_parallel_distill_eval(eval_fn: Callable, mesh: Mesh,
+                               run_teacher: bool = False) -> Callable:
+    """shard_map wrapper for the stage-2 eval step: psum'd counters
+    replicated, per-point outputs sharded on the data axis."""
+    from jax.experimental.shard_map import shard_map
+
+    out_specs = {
+        "pred_vox": PS(DATA_AXIS), "pred_pix": PS(DATA_AXIS),
+        "counts_vox": PS(), "counts_pix": PS(),
+        "logits": PS(DATA_AXIS), "logits_pix": PS(DATA_AXIS),
+    }
+    if run_teacher:
+        out_specs["counts_teacher"] = PS()
+    fn = shard_map(
+        eval_fn,
+        mesh=mesh,
+        in_specs=(PS(), PS(DATA_AXIS)),
+        out_specs=out_specs,
         check_rep=False,
     )
     return jax.jit(fn)

@@ -73,7 +73,15 @@ def make_distill_train_step(
     ignore_label: int = 0,
     mse_norm_feat: bool = False,
     axis_name: Optional[str] = None,
+    remat: bool = False,
+    overflow_checks: bool = False,
 ) -> Callable:
+    """Student distillation step. ``remat=True`` recomputes the forward in
+    the backward pass (the student step is the larger program: student +
+    multisweep cr_t=2.0 teacher in one jit — SURVEY §7 hard-part 5);
+    ``overflow_checks=True`` adds capacity/occupancy counters for BOTH
+    plumbing sets to the aux dict, mirroring the teacher step."""
+
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         from u2mkd_tpu.train.state import get_plumbing
 
@@ -87,13 +95,19 @@ def make_distill_train_step(
         t2s = batch["t2s"]  # [B, Ps] teacher point row per student point
         t2s_valid = pmask & (t2s >= 0)
 
-        def loss_fn(params):
-            out, mut = model.apply(
+        def fwd(params):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 sb, spl, tb, tpl, True,
                 rngs={"dropout": jax.random.fold_in(rng, state.step)},
                 mutable=["batch_stats"],
             )
+
+        if remat:
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            out, mut = fwd(params)
             stu, tch = out["stu"], out["t"]
             ncls = stu["x_vox"].shape[-1]
             flat = lambda x: x.reshape(-1, x.shape[-1])
@@ -141,6 +155,21 @@ def make_distill_train_step(
             aux = jax.lax.pmean(aux, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if overflow_checks:
+            from u2mkd_tpu.train import overflow
+
+            # TSDFull carries the shared window/pallas attrs of both submodels
+            for tag, pl in (("s", spl), ("t", tpl)):
+                stats = overflow.stats_for_model(model, pl)
+                if axis_name is not None:
+                    stats = jax.tree_util.tree_map(
+                        lambda x: jax.lax.pmax(x, axis_name), stats
+                    )
+                for k, v in stats.items():
+                    aux[f"{k}_{tag}"] = v
+            aux["overflow/violations"] = (
+                aux.pop("overflow/violations_s") + aux.pop("overflow/violations_t")
+            )
         return (
             TrainState(step=state.step + 1, params=params, batch_stats=bs,
                        opt_state=opt_state),
@@ -188,7 +217,7 @@ def make_distill_eval_step(
         )
         res = {"pred_vox": pred_vox, "pred_pix": pred_pix,
                "counts_vox": counts_vox, "counts_pix": counts_pix,
-               "logits": stu["x_vox"]}
+               "logits": stu["x_vox"], "logits_pix": stu["x_pix"]}
         if run_teacher:
             # teacher-IoU monitoring on its own multisweep cloud
             # (reference debug.debug_val, train_lc_nusc_tsd_full.py:96-121)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Dict, Iterable, List, Optional
+from typing import Callable, Dict, Iterable, List, NamedTuple, Optional
 
 import jax
 import numpy as np
@@ -69,6 +69,25 @@ def format_iou_table(per_class: np.ndarray, miou: float,
     return "\n".join(lines)
 
 
+class RawSpec(NamedTuple):
+    """One raw-point scoring rule for ``Trainer.evaluate``.
+
+    counts_key:  counter dict in the totals to accumulate into.
+    logits_key:  eval-step output holding padded per-voxel logits [B, P, C].
+    info_key:    sub-entry of ``batch['infos'][i]`` holding the devox info
+                 (None -> the info dict itself; "student" for distill
+                 batches), also selects the sub-batch carrying ``pmask``.
+    filter_key:  optional boolean raw-cloud mask inside the info to restrict
+                 scoring (e.g. "keyframe_mask_full" for multisweep teachers,
+                 "fov_full" for the student pixel head).
+    """
+
+    counts_key: str
+    logits_key: str
+    info_key: Optional[str] = None
+    filter_key: Optional[str] = "keyframe_mask_full"
+
+
 class _NullSummary:
     """No-op writer for non-master processes in multihost runs."""
 
@@ -107,6 +126,7 @@ class Trainer:
         eval_raw_points: bool = True,
         logits_key: str = "logits",
         strict_capacity: bool = False,
+        raw_specs: Optional[List["RawSpec"]] = None,
     ):
         # multihost: only process 0 writes summaries/checkpoints into the
         # (possibly shared) run_dir; collective calls still run everywhere
@@ -134,25 +154,45 @@ class Trainer:
         self.global_step = 0
         self.eval_raw_points = eval_raw_points
         self.logits_key = logits_key
+        self.raw_specs = raw_specs or [
+            RawSpec(eval_counts_key, logits_key, None, "keyframe_mask_full")
+        ]
 
-    def _raw_point_counts(self, out, batch):
+    def _spec_info(self, batch, spec, i):
+        info = batch["infos"][i]
+        if info is not None and spec.info_key is not None:
+            info = info.get(spec.info_key)
+        return info
+
+    def _raw_point_counts(self, out, batch, spec: RawSpec):
         """Exact reference eval semantics: devoxelize logits to the raw cloud
-        via stored inverse maps, filter to keyframe points, score every raw
-        point against its own label (``spformer_trainer.py:96-115``)."""
+        via stored inverse maps, apply the spec's raw-cloud filter (keyframe
+        points for multisweep teachers, FOV for the student pixel head),
+        score every raw point against its own label
+        (``spformer_trainer.py:96-115``, ``nusc_trainers.py:368-390``)."""
         from u2mkd_tpu.train import evaluator as E
 
-        logits = np.asarray(jax.device_get(out[self.logits_key]))
+        from u2mkd_tpu.parallel.mesh import local_data
+
+        sub = batch if spec.info_key is None else batch[spec.info_key]
+        # multihost: infos are process-local; score this process's block of
+        # the sharded logits, counters are summed across processes at the
+        # end of evaluate()
+        logits = local_data(out[spec.logits_key])
+        pmasks = local_data(sub["pmask"])
         total = {k: np.zeros(self.num_classes, np.int64)
                  for k in ("seen", "correct", "positive")}
-        for i, info in enumerate(batch["infos"]):
-            pmask = np.asarray(batch["pmask"][i])
+        for i in range(len(batch["infos"])):
+            info = self._spec_info(batch, spec, i)
+            pmask = pmasks[i]
             raw_logits = E.devoxelize_predictions(logits[i], pmask, info)
             pred = np.argmax(raw_logits, axis=-1)
             labels = info["labels_full"]
-            kf = info.get("keyframe_mask_full")
             keep = labels != self.ignore_label
-            if kf is not None:
-                keep &= kf.astype(bool)
+            if spec.filter_key is not None:
+                filt = info.get(spec.filter_key)
+                if filt is not None:
+                    keep &= filt.astype(bool)
             total["seen"] += np.bincount(labels[keep],
                                          minlength=self.num_classes)
             total["positive"] += np.bincount(pred[keep],
@@ -168,6 +208,7 @@ class Trainer:
             for k in (self.eval_counts_key,) + self.extra_count_keys
         }
         infer_times = []
+        raw_keys = set()
         for batch in self.val_loader():
             t0 = time.time()
             out = self.eval_step(self.state, batch)
@@ -176,19 +217,36 @@ class Trainer:
             use_raw = (
                 self.eval_raw_points
                 and batch.get("infos")
-                and batch["infos"][0] is not None
-                and self.logits_key in out
+                and self._spec_info(batch, self.raw_specs[0], 0) is not None
+                and all(s.logits_key in out for s in self.raw_specs)
             )
             if use_raw:
-                totals[self.eval_counts_key] = M.merge_counts(
-                    totals[self.eval_counts_key],
-                    self._raw_point_counts(out, batch),
-                )
-                for k in self.extra_count_keys:
-                    totals[k] = M.merge_counts(totals[k], jax.device_get(out[k]))
+                for spec in self.raw_specs:
+                    raw_keys.add(spec.counts_key)
+                    totals[spec.counts_key] = M.merge_counts(
+                        totals[spec.counts_key],
+                        self._raw_point_counts(out, batch, spec),
+                    )
+                for k in totals:
+                    if k not in raw_keys:
+                        totals[k] = M.merge_counts(totals[k],
+                                                   jax.device_get(out[k]))
                 continue
             for k in totals:
                 totals[k] = M.merge_counts(totals[k], jax.device_get(out[k]))
+        if raw_keys and jax.process_count() > 1:
+            # raw-point counters were accumulated process-locally (each
+            # process scored its own loader's samples); device counters were
+            # already psum'd inside the step
+            from jax.experimental import multihost_utils
+
+            for k in raw_keys:
+                totals[k] = {
+                    name: np.asarray(
+                        multihost_utils.process_allgather(np.asarray(v))
+                    ).sum(axis=0)
+                    for name, v in totals[k].items()
+                }
         results = {}
         for k, counts in totals.items():
             miou, per_class = M.compute_miou(counts, self.ignore_label)

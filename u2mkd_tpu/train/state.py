@@ -138,7 +138,12 @@ def make_train_step(
         if overflow_checks:
             from u2mkd_tpu.train import overflow
 
-            aux.update(overflow.stats_for_model(model, pl))
+            stats = overflow.stats_for_model(model, pl)
+            if axis_name is not None:
+                stats = jax.tree_util.tree_map(
+                    lambda x: jax.lax.pmax(x, axis_name), stats
+                )
+            aux.update(stats)
         return new_state, aux
 
     return step_fn

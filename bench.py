@@ -102,14 +102,15 @@ def device_peak_flops():
     return (best[1] if best else None), kind
 
 
-def step_mfu(jitted, args, step_seconds, platform):
+def step_mfu(jitted, args, step_seconds, platform, extra_flops=0.0):
     """Executed-FLOPs MFU via XLA cost analysis against the *local* chip's
     bf16 peak (VERDICT r1 #5 — makes the BASELINE.md 'exceed A100 per-chip'
     target checkable). Returns (mfu, device_kind); mfu is None on CPU, on
     unknown accelerators, and when cost analysis is unavailable.
 
-    Note: XLA cost analysis does not see pallas-kernel FLOPs; callers add
-    those separately (see flash_attention_flops)."""
+    XLA cost analysis cannot see pallas-kernel FLOPs; ``extra_flops`` adds
+    them (``u2mkd_tpu.utils.flops.flash_attention_flops`` derives the exact
+    matmul count from the host wgeom tile ranges — VERDICT r2 weak #8)."""
     peak, kind = (None, "cpu") if platform == "cpu" else device_peak_flops()
     if peak is None:
         return None, kind
@@ -117,7 +118,7 @@ def step_mfu(jitted, args, step_seconds, platform):
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = float(cost.get("flops", 0.0)) + float(extra_flops)
         if flops <= 0:
             return None, kind
         return flops / step_seconds / peak, kind
@@ -199,6 +200,7 @@ def main():
         batch["plumbing"] = jax.tree_util.tree_map(jnp.asarray, pl)
     else:
         host_ms = 0.0
+        pl = None
 
     tx = optim.make_optimizer("sgd_spformer", 0.02)
     st = train_state.create_train_state(model, tx, batch, caps, jax.random.PRNGKey(0))
@@ -219,8 +221,13 @@ def main():
     jax.block_until_ready(out["loss"])
     dt = (time.time() - t0) / iters
     scans_per_sec = batch_size / dt
+    extra = 0.0
+    if pl is not None:
+        from u2mkd_tpu.utils.flops import flash_attention_flops
+
+        extra = flash_attention_flops(model, pl, train=True)
     mfu, dev_kind = step_mfu(step, (st, batch, jax.random.PRNGKey(1)), dt,
-                             platform)
+                             platform, extra_flops=extra)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
@@ -237,6 +244,7 @@ def main():
                 f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms, "
                 f"loss={float(out['loss']):.3f}"
                 + (f", mfu={mfu * 100:.1f}% of {dev_kind} bf16 peak"
+                   + (" incl. pallas flops" if extra else "")
                    if mfu is not None else "")
                 + ")",
         "vs_baseline": round(vs, 3),

@@ -1,8 +1,15 @@
 """Component-level timing: where does the train step spend its time?
 
-Times, on the current default device: (a) plumbing build alone, (b) the
-conv-only SPVCNN train step, (c) the full teacher (conv+SphereFormer) train
-step, (d) attention-only stack. Prints one JSON line per part.
+Times, on the current default device, with HOST plumbing (the production
+configuration since round 3 — PERF.md "Host-side window geometry"):
+
+  (a) host plumbing build (numpy/C++, runs in the prefetch loader),
+  (b) conv-only SPVCNN train step,
+  (c) full teacher (conv + SphereFormer flash) train step,
+  (d) per-level per-branch flash-kernel fwd+bwd on the REAL geometry of
+      the same batch — the attention budget table (VERDICT r2 #7).
+
+Prints one JSON line. ``--points=N`` scales the batch.
 """
 
 from __future__ import annotations
@@ -14,7 +21,7 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=5):
+def timeit(fn, *args, iters=10):
     import jax
 
     out = fn(*args)
@@ -30,11 +37,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from u2mkd_tpu.data import synthetic
-    from u2mkd_tpu.models import plumbing as P
+    from u2mkd_tpu.core.structures import WindowGeom
+    from u2mkd_tpu.data import plumbing_host, synthetic, wgeom_host
     from u2mkd_tpu.models.spvcnn import SPVCNN
+    from u2mkd_tpu.ops.pallas import wattn_kernel as pk
     from u2mkd_tpu.ops.precision import set_compute_dtype
     from u2mkd_tpu.train import optim, state as train_state
+    from u2mkd_tpu.utils import flops as Fl
     from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
     from __graft_entry__ import _teacher_model
 
@@ -52,12 +61,17 @@ def main():
     rng = np.random.RandomState(0)
     raw = synthetic.make_batch(rng, b, num_points, voxel_size=0.1)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    model = _teacher_model(num_classes=17, cr=1.0, voxel_size=0.1,
+                           pallas_attention=True, pallas_cubic=True)
     res = {}
 
-    # (a) plumbing
-    plumb = jax.jit(lambda bt: P.build_plumbing(bt["pcoords"], bt["xyz"],
-                                                bt["pmask"], caps))
-    res["plumbing_ms"] = timeit(plumb, batch) * 1e3
+    # (a) host plumbing (incl. window geometry)
+    wp = wgeom_host.params_from_model(model)
+    t0 = time.time()
+    pl = plumbing_host.batch_plumbing(raw["pcoords"], raw["xyz"],
+                                     raw["pmask"], caps, wgeom_params=wp)
+    res["host_plumbing_ms"] = (time.time() - t0) * 1e3
+    batch["plumbing"] = jax.tree_util.tree_map(jnp.asarray, pl)
 
     # (b) conv-only train step
     conv_model = SPVCNN(num_classes=17, cr=1.0)
@@ -69,8 +83,7 @@ def main():
         lambda s, bt: step(s, bt, jax.random.PRNGKey(1))[1]["loss"], st, batch
     ) * 1e3
 
-    # (c) full teacher train step
-    model = _teacher_model(num_classes=17, cr=1.0, voxel_size=0.1)
+    # (c) full teacher train step (flash + host wgeom)
     tx2 = optim.make_optimizer("sgd_spformer", 0.02)
     st2 = train_state.create_train_state(model, tx2, batch, caps,
                                          jax.random.PRNGKey(0))
@@ -78,7 +91,43 @@ def main():
     res["teacher_step_ms"] = timeit(
         lambda s, bt: step2(s, bt, jax.random.PRNGKey(1))[1]["loss"], st2, batch
     ) * 1e3
-    res["attention_share_ms"] = res["teacher_step_ms"] - res["conv_unet_step_ms"]
+    res["attention_share_ms"] = round(
+        res["teacher_step_ms"] - res["conv_unet_step_ms"], 3)
+
+    # (d) per-level per-branch kernel budget on the real geometry
+    specs = Fl.level_attn_specs(model)
+    key = jax.random.PRNGKey(0)
+    budget = {}
+    kernel_sum = 0.0
+    for li, (h1, h2, d, g_cub, g_sph) in enumerate(specs):
+        vcap = caps[li + 1]
+        for branch, hh, g, radial, a in (
+            ("cubic", h1, g_cub, False, 0.0),
+            ("sphere", h2, g_sph, True, float(model.sphere_a)),
+        ):
+            gd = pl["wgeom"][branch][li]
+            geom = WindowGeom(**{k: jnp.asarray(v)[0] for k, v in gd.items()})
+            l2 = 2 * g if radial else 2 * g - 1
+            key, *ks = jax.random.split(key, 5)
+            q, k, v = (jax.random.normal(kk, (b, vcap, hh, d), jnp.float32)
+                       for kk in ks[:3])
+            tq = jax.random.normal(ks[3], (l2, 3, hh, d), jnp.float32)
+            valid = jnp.asarray(pl["vmask"][li + 1])
+
+            def run(qq, kk_, vv, tqq):
+                out = pk.flash_pregeom_batched(
+                    qq, kk_, vv, valid, geom, tqq, tqq, tqq,
+                    grid_len=g, a=a)
+                return jnp.sum(out * out)
+
+            f = jax.jit(jax.grad(run, argnums=(0, 1, 2, 3)))
+            ms = timeit(lambda: f(q, k, v, tq)) * 1e3
+            budget[f"L{li + 1}_{branch}_ms"] = round(ms, 3)
+            kernel_sum += ms
+    res["kernel_budget"] = budget
+    res["kernel_sum_ms"] = round(kernel_sum, 3)
+    res["flash_gflops_per_step"] = round(
+        Fl.flash_attention_flops(model, pl, train=True) / 1e9, 2)
     res["platform"] = platform
     res["num_points"] = num_points
     print(json.dumps({k: round(v, 2) if isinstance(v, float) else v

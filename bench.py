@@ -168,13 +168,21 @@ def main():
     # realistic-ish single-sweep scale, sized to keep first-compile tolerable
     batch_size = 2
     num_points = 4096 if quick else 8192
+    cap0 = None
     for a in sys.argv:
         if a.startswith("--points="):
             num_points = int(a.split("=")[1])
         if a.startswith("--batch="):
             batch_size = int(a.split("=")[1])
-    caps = (num_points, num_points // 2, num_points // 4, num_points // 8,
-            num_points // 16)
+        if a.startswith("--cap0="):
+            # level-0 voxel capacity < P models the multisweep dedup ratio
+            # (the reference's 131k-point cloud dedups to far fewer voxels
+            # at 0.05 m); also the way past the sandbox compile-helper's
+            # buffer-size ceiling at full 131k capacity (PERF.md round 3)
+            cap0 = int(a.split("=")[1])
+    if cap0 is None:
+        cap0 = num_points
+    caps = (cap0, cap0 // 2, cap0 // 4, cap0 // 8, cap0 // 16)
     voxel_size = 0.1
 
     model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size,
@@ -241,7 +249,8 @@ def main():
         "metric": "teacher_train_scans_per_sec",
         "value": round(scans_per_sec, 3),
         "unit": f"scans/sec ({platform}, P={num_points}, B={batch_size}, "
-                f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms, "
+                + (f"cap0={cap0}, " if cap0 != num_points else "")
+                + f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms, "
                 f"loss={float(out['loss']):.3f}"
                 + (f", mfu={mfu * 100:.1f}% of {dev_kind} bf16 peak"
                    + (" incl. pallas flops" if extra else "")

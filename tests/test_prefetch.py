@@ -1,0 +1,111 @@
+"""Pipelined host-plumbing pool (data/prefetch.pipelined_map).
+
+The plumbing+wgeom build is the host-side cost that must overlap device
+steps (150-360 ms/batch at scale, PERF.md round 3); it runs on a thread
+pool because it is pure numpy/C++ (GIL-releasing) and deterministic, while
+sample fetch stays serial (datasets share one RandomState).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from u2mkd_tpu.data.prefetch import pipelined_map
+
+
+def test_order_preserved():
+    def slow_sq(x):
+        # reverse sleep times: later items finish first without ordering
+        time.sleep(0.05 * (8 - x) / 8)
+        return x * x
+
+    out = list(pipelined_map(slow_sq, range(8), workers=4))
+    assert out == [x * x for x in range(8)]
+
+
+def test_exception_propagates():
+    def boom(x):
+        if x == 3:
+            raise ValueError("x3")
+        return x
+
+    with pytest.raises(ValueError, match="x3"):
+        list(pipelined_map(boom, range(8), workers=2))
+
+
+def test_bounded_in_flight():
+    live = []
+    peak = []
+    lock = threading.Lock()
+
+    def track(x):
+        with lock:
+            live.append(x)
+            peak.append(len(live))
+        time.sleep(0.02)
+        with lock:
+            live.remove(x)
+        return x
+
+    list(pipelined_map(track, range(20), workers=3, depth=4))
+    assert max(peak) <= 4
+
+
+def test_actually_parallel():
+    def sleepy(x):
+        time.sleep(0.1)
+        return x
+
+    t0 = time.time()
+    out = list(pipelined_map(sleepy, range(8), workers=8))
+    dt = time.time() - t0
+    assert out == list(range(8))
+    assert dt < 0.6  # serial would be 0.8s
+
+
+def test_epoch_iter_workers_parity():
+    """Thread-pooled plumbing produces byte-identical batches to serial."""
+    from u2mkd_tpu.data import synthetic
+    from u2mkd_tpu.data.loaders import _epoch_iter
+
+    class DS:
+        def __init__(self):
+            self.rng = np.random.RandomState(0)
+            self.items = [synthetic.make_batch(
+                np.random.RandomState(i), 1, 256, voxel_size=0.2)
+                for i in range(6)]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return {k: v[0] for k, v in self.items[i].items()}
+
+    def collate(samples):
+        return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+    caps = (256, 128, 64, 32, 16)
+
+    def run(workers):
+        ds = DS()
+        rng = np.random.RandomState(7)
+        return list(_epoch_iter(ds, 2, collate, True, rng, lambda x: x,
+                                plumbing_caps=caps, workers=workers))
+
+    serial = run(0)
+    pooled = run(4)
+    assert len(serial) == len(pooled) == 3
+    for a, b in zip(serial, pooled):
+        flat_a, _ = _flatten(a)
+        flat_b, _ = _flatten(b)
+        assert len(flat_a) == len(flat_b)
+        for x, y in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _flatten(tree):
+    import jax
+
+    return jax.tree_util.tree_flatten(tree)

@@ -55,7 +55,7 @@ def _maybe_inst_augmenter(cfg, dataset_kind: str):
 
 def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
                 plumbing_caps=None, process_shard=False, wgeom_params=None,
-                n_shards=1):
+                n_shards=1, workers=0):
     order = np.arange(len(ds))
     if shuffle:
         rng.shuffle(order)
@@ -70,9 +70,15 @@ def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
         per = len(order) // jax.process_count()
         order = order[jax.process_index()::jax.process_count()][:per]
     n_batches = len(order) // batch_size
-    for bi in range(n_batches):
-        idxs = order[bi * batch_size:(bi + 1) * batch_size]
-        batch = collate_fn([ds[int(i)] for i in idxs])
+
+    def raw_batches():
+        # serial: dataset augmentation shares one RandomState per dataset
+        for bi in range(n_batches):
+            idxs = order[bi * batch_size:(bi + 1) * batch_size]
+            yield collate_fn([ds[int(i)] for i in idxs])
+
+    def add_plumbing(batch):
+        # pure numpy/C++ — safe and profitable to run on a thread pool
         if plumbing_caps is not None:
             from u2mkd_tpu.data import plumbing_host
 
@@ -80,7 +86,16 @@ def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
                 batch["pcoords"], batch["xyz"], batch["pmask"], plumbing_caps,
                 wgeom_params=wgeom_params, n_shards=n_shards,
             )
-        yield to_device(batch)
+        return batch
+
+    if workers > 1 and plumbing_caps is not None:
+        from u2mkd_tpu.data.prefetch import pipelined_map
+
+        for batch in pipelined_map(add_plumbing, raw_batches(), workers):
+            yield to_device(batch)
+    else:
+        for batch in raw_batches():
+            yield to_device(add_plumbing(batch))
 
 
 def dp_shard_count(cfg) -> int:
@@ -175,16 +190,19 @@ def make_loaders(cfg, seed: int = 0, tta_val: bool = False):
 
     wparams = _wgeom_params(cfg) if pcaps is not None else None
     n_shards = dp_shard_count(cfg)
+    workers = int(cfg.get_path("workers", 4))
 
     def train_loader():
         return _epoch_iter(train_ds, cfg.batch_size, collate_fn, True, rng,
                            to_device, pcaps, process_shard=multihost,
-                           wgeom_params=wparams, n_shards=n_shards)
+                           wgeom_params=wparams, n_shards=n_shards,
+                           workers=workers)
 
     def val_loader():
         return _epoch_iter(val_ds, cfg.batch_size, collate_fn, False, rng,
                            to_device, pcaps, process_shard=multihost,
-                           wgeom_params=wparams, n_shards=n_shards)
+                           wgeom_params=wparams, n_shards=n_shards,
+                           workers=workers)
 
     depth = int(cfg.get_path("prefetch_depth", 2))
     return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)
@@ -253,17 +271,25 @@ def make_distill_loaders(cfg, seed: int = 0):
                 batch,
             )
 
-    from u2mkd_tpu.data.prefetch import prefetched_loader
+    from u2mkd_tpu.data.prefetch import pipelined_map, prefetched_loader
+
+    workers = int(cfg.get_path("workers", 4))
+
+    def _loader(ds, shuffle):
+        raw = _epoch_iter(ds, cfg.batch_size, collate_tsd, shuffle, rng,
+                          lambda x: x, process_shard=multihost)
+        if workers > 1 and use_host:
+            for b in pipelined_map(add_plumbing, raw, workers):
+                yield to_device(b)
+        else:
+            for b in raw:
+                yield to_device(add_plumbing(b))
 
     def train_loader():
-        for b in _epoch_iter(train_ds, cfg.batch_size, collate_tsd, True, rng,
-                             lambda x: x, process_shard=multihost):
-            yield to_device(add_plumbing(b))
+        return _loader(train_ds, True)
 
     def val_loader():
-        for b in _epoch_iter(val_ds, cfg.batch_size, collate_tsd, False, rng,
-                             lambda x: x, process_shard=multihost):
-            yield to_device(add_plumbing(b))
+        return _loader(val_ds, False)
 
     depth = int(cfg.get_path("prefetch_depth", 2))
     return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)

@@ -41,6 +41,34 @@ def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
         yield item
 
 
+def pipelined_map(fn, iterable: Iterable, workers: int,
+                  depth: int = None) -> Iterator:
+    """Apply ``fn`` over ``iterable`` on a thread pool, yielding results IN
+    ORDER with at most ``depth`` items in flight.
+
+    This is the parallel stage of the data pipeline: the iterable (sample
+    fetch + augmentation + collate) is consumed serially in the caller's
+    thread, preserving the datasets' shared-RandomState determinism, while
+    ``fn`` — the pure, GIL-releasing numpy/C++ plumbing + window-geometry
+    build (150-360 ms/batch at 32-65 k points, PERF.md) — runs ``workers``
+    batches deep. The role of the reference's torch ``DataLoader``
+    ``num_workers`` (``configs/default.yaml:2``), minus the per-worker RNG
+    forks (our parallel stage is deterministic by construction)."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    if depth is None:
+        depth = workers + 2
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = collections.deque()
+        for item in iterable:
+            futs.append(ex.submit(fn, item))
+            if len(futs) >= depth:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+
+
 def prefetched_loader(loader_fn: Callable[[], Iterable], depth: int = 2):
     """Wrap a loader factory so each epoch's iteration is prefetched."""
 

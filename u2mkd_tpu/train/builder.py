@@ -102,7 +102,13 @@ def make_optimizer_and_schedule(cfg: Config, world_size: int = 1):
 
 
 def make_synthetic_loaders(cfg: Config, seed: int = 0):
-    """Synthetic train/val loader callables (batch dicts of jnp arrays)."""
+    """Synthetic train/val loader callables (batch dicts of jnp arrays).
+
+    Mirrors the real loaders' production pipeline: host plumbing (+ window
+    geometry for pallas models) built on a thread pool
+    (``prefetch.pipelined_map``) so device steps overlap the 150-360 ms/batch
+    host build (PERF.md round 3)."""
+    import jax
     import jax.numpy as jnp
 
     from u2mkd_tpu.data import synthetic
@@ -111,18 +117,49 @@ def make_synthetic_loaders(cfg: Config, seed: int = 0):
     p = cfg.dataset.num_points
     n_train = cfg.data.training_size // b
     n_val = max(2, n_train // 4)
+    use_host = bool(cfg.get_path("host_plumbing", True))
+    caps = tuple(cfg.capacities) if use_host else None
+    workers = int(cfg.get_path("workers", 4))
+    wparams = None
+    if use_host and cfg.model.get("pallas_attention", False) \
+            and "spformer" in cfg.model.name:
+        from u2mkd_tpu.data import wgeom_host
+
+        wparams = wgeom_host.params_from_cfg(cfg)
+    n_shards = 1
+    if jax.device_count() > 1 and b % jax.device_count() == 0:
+        n_shards = jax.local_device_count()
+
+    def add_plumbing(x):
+        if caps is not None:
+            from u2mkd_tpu.data import plumbing_host
+
+            x["plumbing"] = plumbing_host.batch_plumbing(
+                x["pcoords"], x["xyz"], x["pmask"], caps,
+                wgeom_params=wparams, n_shards=n_shards,
+            )
+        return x
 
     def to_dev(x):
-        return {k: jnp.asarray(v) for k, v in x.items()}
+        return jax.tree_util.tree_map(jnp.asarray, x)
+
+    def _loader(rng_seed, n):
+        rng = np.random.RandomState(rng_seed)
+        raw = (synthetic.make_batch(rng, b, p, cfg.dataset.voxel_size)
+               for _ in range(n))
+        if workers > 1 and caps is not None:
+            from u2mkd_tpu.data.prefetch import pipelined_map
+
+            for x in pipelined_map(add_plumbing, raw, workers):
+                yield to_dev(x)
+        else:
+            for x in raw:
+                yield to_dev(add_plumbing(x))
 
     def train_loader():
-        rng = np.random.RandomState(seed)
-        for _ in range(n_train):
-            yield to_dev(synthetic.make_batch(rng, b, p, cfg.dataset.voxel_size))
+        return _loader(seed, n_train)
 
     def val_loader():
-        rng = np.random.RandomState(seed + 1)
-        for _ in range(n_val):
-            yield to_dev(synthetic.make_batch(rng, b, p, cfg.dataset.voxel_size))
+        return _loader(seed + 1, n_val)
 
     return train_loader, val_loader

@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 
-def bench_student(num_points, batch_size, pallas=False):
+def bench_student(num_points, batch_size, pallas=False, remat=False,
+                  t_points=None):
     """Full TSD distillation step: student (LiDAR+cameras) + frozen
     multisweep teacher + KD losses."""
     import jax
@@ -28,7 +29,7 @@ def bench_student(num_points, batch_size, pallas=False):
     from u2mkd_tpu.train import distill, optim
 
     s_p = num_points
-    t_p = num_points * 2  # multisweep teacher cloud
+    t_p = t_points or num_points * 2  # multisweep teacher cloud
     s_caps = (s_p, s_p // 2, s_p // 4, s_p // 8, s_p // 16)
     t_caps = (t_p, t_p // 2, t_p // 4, t_p // 8, t_p // 16)
     rng = np.random.RandomState(0)
@@ -61,7 +62,8 @@ def bench_student(num_points, batch_size, pallas=False):
         model, tx, batch["student"], batch["teacher"], s_caps, t_caps,
         jax.random.PRNGKey(0),
     )
-    step = jax.jit(distill.make_distill_train_step(model, tx, s_caps, t_caps))
+    step = jax.jit(distill.make_distill_train_step(model, tx, s_caps, t_caps,
+                                                   remat=remat))
     t0 = time.time()
     st, aux = step(st, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(aux["loss"])
@@ -148,18 +150,25 @@ def main():
     if "--student" in sys.argv:
         sp = 2048 if quick else 4096
         sb = 1
+        tp = None
         for a in sys.argv:
             if a.startswith("--points="):
                 sp = int(a.split("=")[1])
             if a.startswith("--batch="):
                 sb = int(a.split("=")[1])
+            if a.startswith("--tpoints="):
+                tp = int(a.split("=")[1])
+        remat = "--remat" in sys.argv
         sps, compile_s, host_ms, loss = bench_student(
-            sp, sb, pallas="--no-pallas" not in sys.argv)
+            sp, sb, pallas="--no-pallas" not in sys.argv, remat=remat,
+            t_points=tp)
         print(json.dumps({
             "metric": "student_tsd_train_scans_per_sec",
             "value": round(sps, 3),
-            "unit": f"scans/sec ({platform}, Ps={sp}, Pt={2 * sp}, B={sb}, "
-                    f"3 cams 360x640, compile={compile_s:.0f}s, "
+            "unit": f"scans/sec ({platform}, Ps={sp}, Pt={tp or 2 * sp}, "
+                    f"B={sb}, 3 cams 360x640, "
+                    + ("remat, " if remat else "")
+                    + f"compile={compile_s:.0f}s, "
                     f"host_plumb={host_ms:.0f}ms, loss={loss:.3f})",
             "vs_baseline": 1.0,
         }))

@@ -116,6 +116,7 @@ def test_config_recursive_and_overrides(tmp_path):
     assert cfg.get_path("nested.missing", "dflt") == "dflt"
 
 
+@pytest.mark.slow
 def test_train_step_determinism(rng):
     """Same seed => identical loss (SURVEY §5.2: the reference only gestures
     at determinism; we assert it)."""
@@ -228,6 +229,7 @@ def test_b_variant_builds():
     assert tx is not None
 
 
+@pytest.mark.slow
 def test_overflow_observability(rng):
     """An undersized run must visibly report clipping (VERDICT r1 #4):
     saturated voxel grids and over-band window occupancies show up as

@@ -1,5 +1,7 @@
 """torch->flax ResNet weight conversion: functional parity on a stem+block."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +68,7 @@ def torch_stem_block(sd, x):
     return out
 
 
+@pytest.mark.slow
 def test_conversion_parity(rng):
     sd = make_fake_resnet18_sd(rng)
     model = SwiftNetResNet()

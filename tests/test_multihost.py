@@ -26,6 +26,8 @@ jax.config.update("jax_platforms", "cpu")
 
 port, pid = sys.argv[1], int(sys.argv[2])
 sys.path.insert(0, sys.argv[3])
+from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
+setup_compilation_cache()
 from u2mkd_tpu.parallel import mesh as pmesh
 
 pmesh.initialize_distributed(
@@ -76,6 +78,8 @@ jax.config.update("jax_platforms", "cpu")
 
 port, pid = sys.argv[1], int(sys.argv[2])
 sys.path.insert(0, sys.argv[3])
+from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
+setup_compilation_cache()
 from u2mkd_tpu.parallel import mesh as pmesh
 
 pmesh.initialize_distributed(
@@ -160,6 +164,7 @@ def _run_two(worker_src, tmp_path, timeout=2700):
     return results
 
 
+@pytest.mark.slow
 def test_two_process_distill(tmp_path):
     """Stage-2 parity with stage-1 infrastructure (VERDICT r2 #5): the full
     TSD distillation step runs under a 2-process global mesh with psum'd
@@ -168,6 +173,7 @@ def test_two_process_distill(tmp_path):
     assert results[0] == results[1], results
 
 
+@pytest.mark.slow
 def test_two_process_dp(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)

@@ -1,6 +1,7 @@
 """Pallas flash window attention (interpret mode) vs the dense oracle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ def test_window_bounds(rng):
     np.testing.assert_array_equal(np.asarray(end), [2, 2, 5, 5, 5, 6])
 
 
+@pytest.mark.slow
 def test_flash_matches_oracle(rng):
     q, k, v, xyz, valid = make_attn_inputs(rng, vcap=200)
     ws = (1.5, 1.5, 1.5)
@@ -31,6 +33,7 @@ def test_flash_matches_oracle(rng):
     assert np.all(got[~valid] == 0)
 
 
+@pytest.mark.slow
 def test_flash_matches_banded_xla(rng):
     """Pallas (dynamic ranges) vs the XLA banded path on a skewed layout."""
     from u2mkd_tpu.ops import wattn
@@ -57,7 +60,6 @@ def test_flash_matches_banded_xla(rng):
 
 # --- v3: contextual-RPE flash kernel with custom VJP ----------------------
 
-import pytest  # noqa: E402
 from test_wattn import np_exponential_split  # noqa: E402
 from u2mkd_tpu.ops import wattn  # noqa: E402
 
@@ -181,6 +183,7 @@ def test_flash_batched_matches_per_sample(rng):
         np.testing.assert_allclose(got[i], exp, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sphereformer_block_flash_parity(rng):
     """SphereFormerBlock(use_flash=True) must match the XLA-path block on
     the same parameters — forward and parameter gradients. The XLA path's

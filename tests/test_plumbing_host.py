@@ -5,6 +5,8 @@ so parity is checked at the *per-point model output* level, which must be
 order-invariant.
 """
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -59,6 +61,7 @@ def test_structure_parity(rng):
         )
 
 
+@pytest.mark.slow
 def test_model_output_parity(rng):
     raw = synthetic.make_batch(np.random.RandomState(2), 2, 400, voxel_size=0.3)
     batch, pl_jax, pl_host = build_both(raw)

@@ -19,6 +19,7 @@ def f32_guard():
     precision.set_compute_dtype("float32")
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32(rng, f32_guard):
     raw = synthetic.make_batch(np.random.RandomState(5), 1, 150, voxel_size=0.5)
     batch = {k: jnp.asarray(v) for k, v in raw.items()}

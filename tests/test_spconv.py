@@ -6,6 +6,8 @@ scattered dense grid is an exact oracle (the reference uses an independent
 CUDA wrapper library the same way, SURVEY.md §4).
 """
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -139,6 +141,7 @@ def test_transposed_conv_matches_dense(rng):
         np.testing.assert_allclose(out[i], exp, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_build_levels_chain(rng):
     grid = make_grid(rng, n=400, hi=16, cap=1024)
     levels = spconv.build_levels(grid, (1024, 512, 256, 128, 64))

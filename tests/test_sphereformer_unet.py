@@ -1,5 +1,7 @@
 """Official SphereFormer U-Net (alt teacher) smoke test."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -10,6 +12,7 @@ from u2mkd_tpu.models.sphereformer_unet import SphereFormerSemantic
 CAPS = (256, 128, 64, 32, 16)
 
 
+@pytest.mark.slow
 def test_recursive_vox_xyz_oracle(rng):
     """Recursive mean-of-means coordinate tracking (reference
     ``unet_spherical_transformer.py:223-247``: scatter_mean of the finer
@@ -45,6 +48,7 @@ def test_recursive_vox_xyz_oracle(rng):
         assert not np.allclose(rec[2][bi][lmask2], flat[lmask2], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_unet_forward(rng):
     b, p = 1, 250
     xyz = (rng.rand(b, p, 3) * 8 - 4).astype(np.float32)

@@ -1,5 +1,7 @@
 """SPVCNN end-to-end forward/backward smoke and semantics tests."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,7 @@ def make_batch(rng, b=2, p=400):
     )
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_finite(rng):
     pcoords, xyz, feats, mask, labels = make_batch(rng)
     pl = P.build_plumbing(pcoords, xyz, mask, CAPS)
@@ -96,6 +99,7 @@ def test_train_step_decreases_loss(rng):
     assert losses_seen[-1] < losses_seen[0]
 
 
+@pytest.mark.slow
 def test_invalid_points_get_no_gradient(rng):
     pcoords, xyz, feats, mask, labels = make_batch(rng, b=1, p=200)
     pl = P.build_plumbing(pcoords, xyz, mask, CAPS)

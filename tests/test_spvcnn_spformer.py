@@ -1,5 +1,7 @@
 """Teacher model (SPVCNN + SphereFormer) forward/backward smoke tests."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -19,6 +21,7 @@ def make_batch(rng, b=2, p=300):
     return jnp.asarray(pcoords), jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(mask)
 
 
+@pytest.mark.slow
 def test_spformer_forward_and_grad(rng):
     pcoords, xyz, feats, mask = make_batch(rng)
     pl = P.build_plumbing(pcoords, xyz, mask, CAPS)

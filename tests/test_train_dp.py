@@ -1,5 +1,7 @@
 """Data-parallel train/eval on the virtual 8-device CPU mesh."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -39,6 +41,7 @@ def test_single_device_train_and_eval(rng):
     assert np.asarray(res["pred"]).shape == batch["labels"].shape
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(rng):
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
     b = 8

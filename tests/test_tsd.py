@@ -1,6 +1,8 @@
 """TSD distillation end-to-end: student+teacher forward, full loss stack,
 frozen-teacher optimizer, lidar-only path."""
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,7 @@ def _batch(rng, b=2, p=200, tp=280):
     return jax.tree_util.tree_map(jnp.asarray, raw)
 
 
+@pytest.mark.slow
 def test_distill_train_step(rng):
     batch = _batch(rng)
     model = _model()
@@ -119,6 +122,7 @@ def test_student_raw_point_eval_counts(rng, tmp_path):
         np.testing.assert_array_equal(got["correct"], correct)
 
 
+@pytest.mark.slow
 def test_distill_eval_and_lidar_only(rng):
     batch = _batch(rng)
     model = _model()

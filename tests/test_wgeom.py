@@ -155,6 +155,7 @@ def test_batch_plumbing_wgeom_sharding(rng):
                 assert np.array_equal(order[inv], np.arange(n))
 
 
+@pytest.mark.slow
 def test_model_forward_with_wgeom_matches(rng):
     """End-to-end: SPVCNN+SphereFormer forward with host geometry equals the
     in-jit geometry forward (same host plumbing, flash path, eval mode)."""

@@ -112,7 +112,11 @@ def step_mfu(jitted, args, step_seconds, platform, extra_flops=0.0):
 
     XLA cost analysis cannot see pallas-kernel FLOPs; ``extra_flops`` adds
     them (``u2mkd_tpu.utils.flops.flash_attention_flops`` derives the exact
-    matmul count from the host wgeom tile ranges — VERDICT r2 weak #8)."""
+    matmul count from the host wgeom tile ranges — VERDICT r2 weak #8).
+    Cost analysis counts every HLO's nominal FLOPs, including ops the
+    backend later folds/dedups, so the combined figure is an UPPER-BOUND
+    estimate (it can exceed 100% at large scales) — the unit string labels
+    it as such."""
     peak, kind = (None, "cpu") if platform == "cpu" else device_peak_flops()
     if peak is None:
         return None, kind
@@ -261,8 +265,10 @@ def main():
                 + (f"cap0={cap0}, " if cap0 != num_points else "")
                 + f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms, "
                 f"loss={float(out['loss']):.3f}"
-                + (f", mfu={mfu * 100:.1f}% of {dev_kind} bf16 peak"
-                   + (" incl. pallas flops" if extra else "")
+                + (f", mfu<={mfu * 100:.1f}% of {dev_kind} bf16 peak"
+                   + (" (HLO cost-analysis upper bound"
+                      + (" + pallas trip-count flops" if extra else "")
+                      + ")")
                    if mfu is not None else "")
                 + ")",
         "vs_baseline": round(vs, 3),

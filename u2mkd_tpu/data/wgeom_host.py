@@ -34,7 +34,7 @@ Semantics are bit-matched to the in-jit builders they replace:
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -77,23 +77,55 @@ def quantize_in_window(xyz: np.ndarray, valid: np.ndarray, ws, qs) -> np.ndarray
 
 def level_window_params(window_size, window_size_sphere, quant_size,
                         quant_size_sphere, window_size_scale,
-                        n_levels: int = 4) -> List[Dict]:
+                        n_levels: int = 4,
+                        heads: Optional[List] = None) -> List[Dict]:
     """Per-encoder-level (cubic, sphere) window/quant sizes, mirroring the
     doubling in SPVCNN's encoder (reference ``spvcnn_spformer.py:77-83``).
-    Entry i corresponds to U-Net level i+1."""
+    Entry i corresponds to U-Net level i+1.
+
+    ``heads``: optional per-level (h_cubic, h_sphere, head_dim) — when
+    given, each level entry also carries the scoped-VMEM-safe per-branch
+    kernel tiles (``wattn_kernel.branch_tile``; deep levels with many heads
+    need smaller tiles to compile at full capacity)."""
+    from u2mkd_tpu.ops.pallas.wattn_kernel import branch_tile
+
     ws = [float(w) for w in window_size]
     qs = [float(q) for q in quant_size]
     wss = [float(w) for w in window_size_sphere]
     qss = [float(q) for q in quant_size_sphere]
     wsc, wss_scale = float(window_size_scale[0]), float(window_size_scale[1])
     out = []
-    for _ in range(n_levels):
-        out.append(dict(ws=tuple(ws), qs=tuple(qs), wss=tuple(wss),
-                        qss=tuple(qss)))
+    for li in range(n_levels):
+        entry = dict(ws=tuple(ws), qs=tuple(qs), wss=tuple(wss),
+                     qss=tuple(qss))
+        if heads is not None:
+            h1, h2, d = heads[li]
+            g_cub = int((ws[0] + 1e-4) / qs[0])
+            g_sph = int((wss[0] + 1e-4) / qss[0])
+            entry["tile_cubic"] = branch_tile(h1, d, g_cub, radial=False)
+            entry["tile_sphere"] = branch_tile(h2, d, g_sph, radial=True)
+        out.append(entry)
         ws = [w * wsc for w in ws]
         qs = [q * wsc for q in qs]
         wss = [wss[0] * wss_scale, wss[1] * wss_scale, wss[2]]
         qss = [qss[0] * wss_scale, qss[1] * wss_scale, qss[2]]
+    return out
+
+
+_BASE_LEVEL_CHANNELS = (32, 64, 128, 256)  # SPVCNN/MSP2IFM cs[1..4]
+
+
+def heads_for_levels(cr: float, head_dim: int) -> List[Tuple[int, int, int]]:
+    """Per-level (h_cubic, h_sphere, head_dim) for a SPVCNN-family encoder:
+    num_heads = int(cr * cs[l]) // head_dim, split h1 = h//2 / h2 = h - h1
+    (``models/sphereformer.py:67-68``). When a TSD config runs student and
+    teacher through the same geometry, pass the *larger* cr — the tile that
+    is VMEM-safe for more heads is safe (just narrower) for fewer."""
+    out = []
+    for c in _BASE_LEVEL_CHANNELS:
+        h = max(2, int(cr * c) // head_dim)
+        h1 = h // 2
+        out.append((h1, h - h1, head_dim))
     return out
 
 
@@ -103,9 +135,12 @@ def params_from_cfg(cfg) -> Dict:
     from u2mkd_tpu.train.builder import window_geometry
 
     ws, wss, qs, qss = window_geometry(cfg)
+    cr = max(float(cfg.model.get("cr", 1.0)),
+             float(cfg.model.get("cr_t", 0.0)))
+    heads = heads_for_levels(cr, int(cfg.model.get("head_dim", 16)))
     return dict(
         levels=level_window_params(
-            ws, wss, qs, qss, tuple(cfg.model.window_size_scale)
+            ws, wss, qs, qss, tuple(cfg.model.window_size_scale), heads=heads
         ),
         tile=int(cfg.model.get("attn_tile", 128)),
     )
@@ -113,10 +148,13 @@ def params_from_cfg(cfg) -> Dict:
 
 def params_from_model(model) -> Dict:
     """Same spec derived from a model's attributes (bench/test helper)."""
+    cr = max(float(getattr(model, "cr", 1.0)),
+             float(getattr(model, "cr_t", 0.0)))
+    heads = heads_for_levels(cr, int(getattr(model, "head_dim", 16)))
     return dict(
         levels=level_window_params(
             model.window_size, model.window_size_sphere, model.quant_size,
-            model.quant_size_sphere, model.window_size_scale,
+            model.quant_size_sphere, model.window_size_scale, heads=heads,
         ),
         tile=128,
     )
@@ -193,11 +231,16 @@ def batch_window_geometry(voxxyz: Sequence[np.ndarray],
     for li, p in enumerate(params["levels"], start=1):
         xyz = np.asarray(voxxyz[li], np.float32)
         mask = np.asarray(vmask[li]).astype(bool)
+        # per-branch scoped-VMEM-safe tiles (deep levels with many heads
+        # need narrower query tiles); the kernel derives its tile from the
+        # geometry so host and device always agree
+        t_cub = min(tile, int(p.get("tile_cubic", tile)))
+        t_sph = min(tile, int(p.get("tile_sphere", tile)))
         out["cubic"].append(
-            _branch_geometry(xyz, mask, p["ws"], p["qs"], tile, radial=False)
+            _branch_geometry(xyz, mask, p["ws"], p["qs"], t_cub, radial=False)
         )
         sph = cart2sphere(xyz)
         out["sphere"].append(
-            _branch_geometry(sph, mask, p["wss"], p["qss"], tile, radial=True)
+            _branch_geometry(sph, mask, p["wss"], p["qss"], t_sph, radial=True)
         )
     return out

@@ -316,6 +316,33 @@ def _pad128(w: int) -> int:
     return max(128, -(-w // 128) * 128)
 
 
+# Scoped-VMEM budget for one kernel instance. The bwd_k grid is the widest
+# (3 f32 outputs + double-buffered streams + accumulator carries); its
+# footprint scales with T * H * (sk + sv). Empirical anchor: the Mosaic
+# compiler reports 17.64 MiB at (T=128, H=8, sk=256, sv=128) against a
+# 16 MiB limit (v5e VMEM), i.e. ~45 bytes per unit — full-capacity 131k
+# training fails to compile at level 4 without halving the tile there.
+_VMEM_BUDGET = 15 << 20
+_VMEM_BYTES_PER_UNIT = 45
+
+
+def branch_tile(h: int, d: int, g: int, radial: bool,
+                max_tile: int = 128) -> int:
+    """Largest query-tile size whose widest kernel (bwd_k) fits in scoped
+    VMEM for one attention branch with ``h`` heads. Host wgeom
+    (``data/wgeom_host.py``) and the kernel wrappers both derive the tile
+    from this so the per-tile [kmin, kmax) ranges always match."""
+    n_diff = 2 if radial else 3
+    lr = 2 * g if radial else 0
+    wd = n_diff * g
+    sk = _pad128(d + 2 * wd + 2 * lr)
+    sv = _pad128(d + wd + lr)
+    t = max_tile
+    while t > 32 and _VMEM_BYTES_PER_UNIT * t * h * (sk + sv) > _VMEM_BUDGET:
+        t //= 2
+    return t
+
+
 def _exp_split_bins(rel, a, lr):
     """exponential_split bin, clipped — mirrors
     ``wattn.exponential_split_index`` (reference ``spherical_transformer.py:
@@ -1092,6 +1119,7 @@ def _flash_from_keys(q, k, v, whi, wlo, valid, rpe, tile, interpret):
     vcap, h, d = q.shape
     radial = rpe.r is not None
     g = int(rpe.grid_len)
+    tile = min(tile, branch_tile(h, d, g, radial))  # scoped-VMEM clamp
     cfg = FlashRPEConfig(
         tile=tile, h=h, d=d, g=g, l2=int(rpe.table_q.shape[0]),
         n_diff=2 if radial else 3, radial=radial,
@@ -1150,12 +1178,15 @@ def flash_pregeom_batched(
     n = b * vcap
     radial = geom.r is not None
     g = int(grid_len)
+    # the geometry defines the tile: its [kmin, kmax) ranges were laid out
+    # on the host with the branch's scoped-VMEM-safe tile (branch_tile)
+    pad_to = geom.rank.shape[0]
+    tile = pad_to // geom.kmin.shape[0]
     cfg = FlashRPEConfig(
         tile=tile, h=h, d=d, g=g, l2=int(table_q.shape[0]),
         n_diff=2 if radial else 3, radial=radial,
         lr=2 * g if radial else 0, a=float(a), interpret=interpret,
     )
-    pad_to = geom.rank.shape[0]
     assert geom.order.shape[0] == pad_to and pad_to % tile == 0
 
     def flat(x):

@@ -106,6 +106,12 @@ def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,
             feats.dtype
         )
 
+    # checkpoint the body: without it, scan's AD stacks the gathered rows of
+    # every iteration into a [K, Vout, Cin] residual (648MB bf16 at V=131072,
+    # Cin=96 — the top allocation in the full-capacity HBM OOM, PERF.md round
+    # 3); recomputing the gather in the backward sweep is one cheap
+    # HBM-speed row lookup per step.
+    @jax.checkpoint
     def body(acc, inputs):
         nbr_k, w_k = inputs
         g = gather_rows(feats, nbr_k)  # [Vout, Cin]

@@ -68,12 +68,16 @@ def bench_student(num_points, batch_size, pallas=False, remat=False,
     st, aux = step(st, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(aux["loss"])
     compile_s = time.time() - t0
-    iters = 5
-    t0 = time.time()
-    for i in range(iters):
-        st, aux = step(st, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(aux["loss"])
-    dt = (time.time() - t0) / iters
+    # best-of-3 timing windows: the sandbox tunnel's step dispatch has large
+    # run-to-run variance (PERF.md round 3); min-of-k is the robust
+    # estimator of the device's steady-state step cost
+    iters, dt = 5, float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(iters):
+            st, aux = step(st, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(aux["loss"])
+        dt = min(dt, (time.time() - t0) / iters)
     return batch_size / dt, compile_s, host_ms, float(aux["loss"])
 
 
@@ -235,12 +239,16 @@ def main():
     jax.block_until_ready(out["loss"])
     compile_s = time.time() - t0
 
+    # best-of-3 timing windows (min-of-k): robust to the tunnel's large
+    # run-to-run dispatch variance (PERF.md round 3)
     iters = 3 if quick else 10
-    t0 = time.time()
-    for i in range(iters):
-        st, out = step(st, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out["loss"])
-    dt = (time.time() - t0) / iters
+    dt = float("inf")
+    for _ in range(1 if quick else 3):
+        t0 = time.time()
+        for i in range(iters):
+            st, out = step(st, batch, jax.random.PRNGKey(2 + i))
+        jax.block_until_ready(out["loss"])
+        dt = min(dt, (time.time() - t0) / iters)
     scans_per_sec = batch_size / dt
     extra = 0.0
     if pl is not None:

@@ -154,6 +154,33 @@ def test_flash_rpe_grads_match_xla(rng, radial):
             err_msg=f"{name} mismatch (radial={radial})")
 
 
+@pytest.mark.parametrize("radial", [False, True])
+def test_flash_bwd_head_split_exact(rng, radial, monkeypatch):
+    """The scoped-VMEM head-group split in the backward wrappers must be
+    bit-identical to the single-call backward: force single-head groups and
+    compare every gradient against the unsplit run."""
+    g = 6
+    q, k, v, xyz, valid, quant, tables, ws, r = make_rpe_inputs(
+        rng, vcap=150, h=2, g=g, radial=radial)
+    dloss = rng.randn(*q.shape).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (q, k, v) + tables)
+
+    def fn(q_, k_, v_, tq_, tk_, tv_):
+        return _loss_through(
+            "flash", q_, k_, v_, jnp.asarray(xyz), jnp.asarray(valid),
+            jnp.asarray(quant), (tq_, tk_, tv_), ws, g,
+            None if r is None else jnp.asarray(r), jnp.asarray(dloss))
+
+    g_whole = jax.grad(fn, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    monkeypatch.setattr(pk, "_bwd_head_groups", lambda cfg: 1)
+    g_split = jax.grad(fn, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for name, a, b in zip(["dq", "dk", "dv", "dtq", "dtk", "dtv"],
+                          g_split, g_whole):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"{name} split/unsplit mismatch (radial={radial})")
+
+
 def test_flash_batched_matches_per_sample(rng):
     g = 6
     b = 2

@@ -85,8 +85,10 @@ def level_window_params(window_size, window_size_sphere, quant_size,
 
     ``heads``: optional per-level (h_cubic, h_sphere, head_dim) — when
     given, each level entry also carries the scoped-VMEM-safe per-branch
-    kernel tiles (``wattn_kernel.branch_tile``; deep levels with many heads
-    need smaller tiles to compile at full capacity)."""
+    kernel tiles (``wattn_kernel.branch_tile``). Wide-head deep levels are
+    handled by the backward head-group split inside the kernel wrappers, so
+    in practice these stay at the full 128 tile; the per-level plumbing
+    remains as the host/kernel tile contract."""
     from u2mkd_tpu.ops.pallas.wattn_kernel import branch_tile
 
     ws = [float(w) for w in window_size]

@@ -320,25 +320,42 @@ def _pad128(w: int) -> int:
 # (3 f32 outputs + double-buffered streams + accumulator carries); its
 # footprint scales with T * H * (sk + sv). Empirical anchor: the Mosaic
 # compiler reports 17.64 MiB at (T=128, H=8, sk=256, sv=128) against a
-# 16 MiB limit (v5e VMEM), i.e. ~45 bytes per unit — full-capacity 131k
-# training fails to compile at level 4 without halving the tile there.
+# 16 MiB limit (v5e VMEM) — full-capacity 131k training fails to compile at
+# level 4 without shrinking the per-call footprint there. Heads are fully
+# independent in attention, so the backward calls split H into groups at the
+# XLA call site (``_bwd_head_groups``) instead of narrowing the query tile:
+# a narrower tile slows EVERY kernel in the branch (~25% end-to-end at tile
+# 64, PERF.md round 3), while a head split only re-streams the 128-lane aux
+# columns on the rare wide-head deep levels.
 _VMEM_BUDGET = 15 << 20
 _VMEM_BYTES_PER_UNIT = 45
 
 
+def _bwd_head_groups(cfg: "FlashRPEConfig") -> int:
+    """Largest head-group size whose widest backward grid (bwd_k) fits the
+    scoped-VMEM budget at ``cfg.tile``."""
+    g = cfg.h
+    while g > 1 and (_VMEM_BYTES_PER_UNIT * cfg.tile * g
+                     * (cfg.sk + cfg.sv) > _VMEM_BUDGET):
+        g = -(-g // 2)
+    return g
+
+
 def branch_tile(h: int, d: int, g: int, radial: bool,
                 max_tile: int = 128) -> int:
-    """Largest query-tile size whose widest kernel (bwd_k) fits in scoped
-    VMEM for one attention branch with ``h`` heads. Host wgeom
-    (``data/wgeom_host.py``) and the kernel wrappers both derive the tile
-    from this so the per-tile [kmin, kmax) ranges always match."""
+    """Largest query-tile size whose widest kernel (bwd_k, at the smallest
+    head-group size of 1) fits in scoped VMEM for one attention branch.
+    Host wgeom (``data/wgeom_host.py``) and the kernel wrappers both derive
+    the tile from this so the per-tile [kmin, kmax) ranges always match.
+    With the backward head-group split this stays at ``max_tile`` for every
+    supported branch width; the clamp remains as the contract's backstop."""
     n_diff = 2 if radial else 3
     lr = 2 * g if radial else 0
     wd = n_diff * g
     sk = _pad128(d + 2 * wd + 2 * lr)
     sv = _pad128(d + wd + lr)
     t = max_tile
-    while t > 32 and _VMEM_BYTES_PER_UNIT * t * h * (sk + sv) > _VMEM_BUDGET:
+    while t > 32 and _VMEM_BYTES_PER_UNIT * t * (sk + sv) > _VMEM_BUDGET:
         t //= 2
     return t
 
@@ -975,6 +992,36 @@ def _call_bwd_k(cfg, qcat, kcat, vcat, gcat, aux, aux2, kmin, kmax):
     )(kmin, kmax, kcat, vcat, aux, qcat, gcat, aux, aux2)
 
 
+def _split_heads(call, cfg, qcat, kcat, vcat, gcat, aux, aux2, kmin, kmax):
+    """Run a backward pallas_call wrapper in scoped-VMEM-safe head groups.
+
+    Heads are independent: the concatenated per-head column blocks of
+    qcat/kcat ([N, H*sk]) and vcat/gcat ([N, H*sv]) are sliced per group,
+    the per-head lse/dfac lanes of aux2 are repacked to group-local offsets,
+    and the group outputs are concatenated back — bit-identical to the
+    single-call result."""
+    hg = _bwd_head_groups(cfg)
+    if hg >= cfg.h:
+        return call(cfg, qcat, kcat, vcat, gcat, aux, aux2, kmin, kmax)
+    sk, sv = cfg.sk, cfg.sv
+    outs = []
+    for g0 in range(0, cfg.h, hg):
+        h = min(hg, cfg.h - g0)
+        cfg_g = cfg._replace(h=h)
+        aux2_g = jnp.zeros_like(aux2)
+        aux2_g = aux2_g.at[:, 0:h].set(aux2[:, g0:g0 + h])
+        aux2_g = aux2_g.at[:, 32:32 + h].set(aux2[:, 32 + g0:32 + g0 + h])
+        outs.append(call(
+            cfg_g,
+            qcat[:, g0 * sk:(g0 + h) * sk],
+            kcat[:, g0 * sk:(g0 + h) * sk],
+            vcat[:, g0 * sv:(g0 + h) * sv],
+            gcat[:, g0 * sv:(g0 + h) * sv],
+            aux, aux2_g, kmin, kmax,
+        ))
+    return tuple(jnp.concatenate(parts, axis=1) for parts in zip(*outs))
+
+
 # -- custom VJP ---------------------------------------------------------------
 
 def _f0(x):
@@ -1029,10 +1076,10 @@ def _flash_rpe_bwd(cfg, res, g):
     aux2 = aux2.at[:, 32:32 + h].set(dfac)
     gcat = _build_gcat(do, _f32(tv), quant, cfg, qcat.dtype)
 
-    dqk, mqr = _call_bwd_q(cfg, qcat, kcat, vcat, gcat, aux, aux2,
-                           kmin, kmax)
-    dkq, dvv, mkr = _call_bwd_k(cfg, qcat, kcat, vcat, gcat, aux, aux2,
-                                kmin, kmax)
+    dqk, mqr = _split_heads(_call_bwd_q, cfg, qcat, kcat, vcat, gcat,
+                            aux, aux2, kmin, kmax)
+    dkq, dvv, mkr = _split_heads(_call_bwd_k, cfg, qcat, kcat, vcat, gcat,
+                                 aux, aux2, kmin, kmax)
 
     qsf, ksf = _f32(qs), _f32(ks)
     dqk = dqk.reshape(n, h, cfg.sk)

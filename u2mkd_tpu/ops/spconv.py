@@ -106,17 +106,20 @@ def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,
             feats.dtype
         )
 
-    # checkpoint the body: without it, scan's AD stacks the gathered rows of
-    # every iteration into a [K, Vout, Cin] residual (648MB bf16 at V=131072,
-    # Cin=96 — the top allocation in the full-capacity HBM OOM, PERF.md round
-    # 3); recomputing the gather in the backward sweep is one cheap
-    # HBM-speed row lookup per step.
-    @jax.checkpoint
     def body(acc, inputs):
         nbr_k, w_k = inputs
         g = gather_rows(feats, nbr_k)  # [Vout, Cin]
         g, w_k = cast_compute(g, w_k)
         return acc + jnp.dot(g, w_k, preferred_element_type=acc.dtype), None
+
+    # Checkpoint the body when the stacked residual would be large: scan's AD
+    # saves every iteration's gathered rows as one [K, Vout, Cin] tensor
+    # (648MB bf16 at V=131072, Cin=96 — the top allocation in the
+    # full-capacity HBM OOM, PERF.md round 3); recomputing the gather in the
+    # backward sweep is one cheap HBM-speed row lookup per step. Below the
+    # threshold the residual is harmless and the recompute is pure overhead.
+    if vout * k * cin * 2 > 256 * 1024 * 1024:  # bf16 bytes
+        body = jax.checkpoint(body)
 
     acc0 = jnp.zeros((vout, weight.shape[-1]), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (nbr, weight))

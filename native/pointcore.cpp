@@ -392,3 +392,198 @@ void build_plumbing_host(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-side flash-attention window geometry (one branch of one level).
+//
+// Native counterpart of u2mkd_tpu/data/wgeom_host._branch_geometry — the
+// remaining numpy hot path of the loader once the conv plumbing above is
+// native. Semantics are bit-matched to the numpy implementation (which stays
+// as the tested oracle): float32 cell/quant arithmetic, np.lexsort's stable
+// (primary, key) order via an LSD radix sort, identical run/rank/tile-range
+// scans. The reference's analog is sptr's cached get_indices
+// (spherical_transformer.py:185-219) computed on GPU per indice_key; here it
+// is loader-side work overlapped with device compute.
+// ---------------------------------------------------------------------------
+
+#include <algorithm>
+
+namespace {
+
+// numpy npy_remainderf: fmod with the divisor's sign (ws > 0 here).
+// fmodf via libm is ~85ns/call; the double-precision trunc-quotient formula
+// below is bit-exact for float32 inputs (the double quotient of two 24-bit
+// mantissas has < 2^-24 error, so trunc() recovers the true integer
+// quotient; q*w and a - q*w are then exact in 53 bits) and ~5x faster.
+inline float np_modf(float a, float w) {
+  const double ad = a, wd = w;
+  const double q = std::trunc(ad / wd);
+  float m = (float)(ad - q * wd);
+  if (m != 0.f && m < 0.f) m += w;
+  return m;
+}
+
+// Stable sort of [0, n) by (primary asc, key SIGNED asc): LSD radix —
+// 8x8-bit passes over the sign-bit-biased key (the packed window key
+// overflows int64 by construction, exactly as numpy's does, so order must
+// follow the wrapped signed values), then one stable counting pass over
+// primary (values in [0, n_primary]).
+void lexsort_primary_key(const int64_t* key, const int64_t* primary,
+                         int64_t n, int64_t n_primary, int32_t* order) {
+  if (n == 0) return;
+  // carry (key, index) pairs through the passes: each pass streams the
+  // permuted keys sequentially instead of gathering key[a[i]] at random
+  struct KV { uint64_t k; int32_t i; };
+  std::vector<KV> a(n), b(n);
+  uint64_t varying = 0;
+  {
+    const uint64_t k0 = (uint64_t)key[0] ^ (1ULL << 63);
+    for (int64_t i = 0; i < n; ++i) {
+      const uint64_t uk = (uint64_t)key[i] ^ (1ULL << 63);
+      varying |= uk ^ k0;
+      a[i].k = uk;
+      a[i].i = (int32_t)i;
+    }
+  }
+  KV* pa = a.data();
+  KV* pb = b.data();
+  size_t hist[256];
+  for (int pass = 0; pass < 8; ++pass) {
+    const int shift = pass * 8;
+    if ((varying >> shift & 0xFF) == 0) continue;  // constant byte
+    std::memset(hist, 0, sizeof(hist));
+    for (int64_t i = 0; i < n; ++i) ++hist[pa[i].k >> shift & 0xFF];
+    size_t run = 0;
+    for (int j = 0; j < 256; ++j) {
+      size_t c = hist[j];
+      hist[j] = run;
+      run += c;
+    }
+    for (int64_t i = 0; i < n; ++i) pb[hist[pa[i].k >> shift & 0xFF]++] = pa[i];
+    std::swap(pa, pb);
+  }
+  std::vector<size_t> ph((size_t)n_primary + 2, 0);
+  for (int64_t i = 0; i < n; ++i) ++ph[(size_t)primary[i] + 1];
+  for (size_t j = 1; j < ph.size(); ++j) ph[j] += ph[j - 1];
+  bool multi = false;
+  for (int64_t i = 1; i < n; ++i)
+    if (primary[i] != primary[0]) { multi = true; break; }
+  if (multi) {
+    for (int64_t i = 0; i < n; ++i)
+      pb[ph[(size_t)primary[pa[i].i]]++] = pa[i];
+    std::swap(pa, pb);
+  }
+  for (int64_t i = 0; i < n; ++i) order[i] = pa[i].i;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Window geometry for one attention branch over a [B, V] voxel batch.
+//   coords [B*V, 3] float32 branch coordinates (metric xyz or sphere),
+//   valid  [B*V]    uint8,
+//   ws/qs  [3]      float32 window / quantization sizes,
+//   tile            query-tile size (pad_to = ceil(B*V / tile) * tile).
+// Outputs (caller-allocated):
+//   order [pad_to] i32, inv [B*V] i32, rank [pad_to] f32,
+//   quant [pad_to,3] i32, kmin/kmax [pad_to/tile] i32, occ [1] i32,
+//   r_out [pad_to] f32 (radial range column; pass NULL for cubic).
+void build_wgeom_branch(
+    const float* coords, const uint8_t* valid, int64_t B, int64_t V,
+    const float* ws, const float* qs, int64_t tile,
+    int32_t* order, int32_t* inv, float* rank_out, int32_t* quant_out,
+    int32_t* kmin, int32_t* kmax, int32_t* occ, float* r_out) {
+  const int64_t n = B * V;
+  const int64_t pad_to = (n + tile - 1) / tile * tile;
+  const int64_t bias = (int64_t)1 << 21;
+
+  std::vector<int64_t> key(n);
+  std::vector<int64_t> primary(n);
+  std::vector<int32_t> quant(n * 3);
+  for (int64_t s = 0; s < B; ++s) {
+    // per-sample valid-min of each axis (0 when the sample is empty)
+    float mn[3];
+    bool any = false;
+    for (int a = 0; a < 3; ++a) mn[a] = 0.f;
+    for (int64_t v = 0; v < V; ++v) {
+      if (!valid[s * V + v]) continue;
+      const float* c = coords + 3 * (s * V + v);
+      if (!any) {
+        mn[0] = c[0]; mn[1] = c[1]; mn[2] = c[2];
+        any = true;
+      } else {
+        for (int a = 0; a < 3; ++a) mn[a] = std::min(mn[a], c[a]);
+      }
+    }
+    for (int64_t v = 0; v < V; ++v) {
+      const int64_t i = s * V + v;
+      const float* c = coords + 3 * i;
+      int64_t cell[3];
+      for (int a = 0; a < 3; ++a) {
+        const float rel = c[a] - mn[a];
+        cell[a] = (int64_t)std::floor(rel / ws[a]);
+        quant[3 * i + a] = (int32_t)std::floor(np_modf(rel, ws[a]) / qs[a]);
+      }
+      key[i] = ((cell[0] + bias) << 42) | (((cell[1] + bias) & 0x1FFFFF) << 21)
+               | ((cell[2] + bias) & 0x1FFFFF);
+      primary[i] = valid[i] ? s : B;  // dead rows sort last within the batch
+    }
+  }
+
+  std::vector<int32_t> ord(n);
+  lexsort_primary_key(key.data(), primary.data(), n, B + 1, ord.data());
+
+  for (int64_t i = 0; i < n; ++i) inv[ord[i]] = (int32_t)i;
+  for (int64_t i = 0; i < n; ++i) order[i] = ord[i];
+  for (int64_t i = n; i < pad_to; ++i) order[i] = 0;
+
+  // run detection over the sorted sequence (pad rows: each its own window)
+  int64_t rank = -1, run_start = 0, run_len = 0, max_occ = 0;
+  int64_t prev_key = 0, prev_prim = -1;
+  bool prev_live = false;
+  for (int64_t i = 0; i < pad_to; ++i) {
+    const bool live = i < n && valid[ord[i]];
+    const int64_t k = i < n ? key[ord[i]] : 0;
+    const int64_t p = i < n ? primary[ord[i]] : B + 1;
+    const bool same = live && prev_live && k == prev_key && p == prev_prim;
+    if (!same) {
+      if (prev_live && run_len > max_occ) max_occ = run_len;
+      ++rank;
+      run_start = i;
+      run_len = 0;
+    }
+    if (live) ++run_len;
+    rank_out[i] = (float)rank;
+    if (i % tile == 0) kmin[i / tile] = (int32_t)run_start;
+    if (i < n) {
+      const int32_t* q = quant.data() + 3 * ord[i];
+      quant_out[3 * i] = q[0];
+      quant_out[3 * i + 1] = q[1];
+      quant_out[3 * i + 2] = q[2];
+      if (r_out) r_out[i] = coords[3 * ord[i] + 2];
+    } else {
+      quant_out[3 * i] = quant_out[3 * i + 1] = quant_out[3 * i + 2] = 0;
+      if (r_out) r_out[i] = 0.f;
+    }
+    prev_key = k;
+    prev_prim = p;
+    prev_live = live;
+  }
+  if (prev_live && run_len > max_occ) max_occ = run_len;
+  occ[0] = (int32_t)max_occ;
+
+  // backward sweep: end of the run containing each tile's last row
+  int64_t run_end = pad_to;
+  int64_t t = pad_to / tile - 1;
+  for (int64_t i = pad_to - 1; i >= 0; --i) {
+    const bool last = i + 1 == pad_to || rank_out[i + 1] != rank_out[i];
+    if (last) run_end = i + 1;
+    if (i % tile == tile - 1) {
+      kmax[t] = (int32_t)std::max(run_end, (int64_t)kmin[t] + 1);
+      --t;
+    }
+  }
+}
+
+}  // extern "C"

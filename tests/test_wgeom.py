@@ -203,3 +203,31 @@ def test_model_forward_with_wgeom_matches(rng):
     out_wg = fwd(pl_arrays)
     np.testing.assert_allclose(np.asarray(out_wg), np.asarray(out_no),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("radial", [False, True])
+def test_native_branch_parity(rng, radial):
+    """C fast path (native/pointcore.cpp:build_wgeom_branch) is bit-identical
+    to the numpy oracle on every output, including dead-row ordering (numpy
+    sorts the overflowed int64 window keys signed), empty samples, and
+    non-default tiles."""
+    from u2mkd_tpu.data import native
+
+    if not native.available() or not hasattr(native._load(),
+                                             "build_wgeom_branch"):
+        pytest.skip("native pointcore unavailable")
+    ws, qs = (((1.875, 1.875, 80.0), (0.117, 0.117, 5.0)) if radial
+              else ((0.3, 0.3, 0.3), (0.02, 0.02, 0.02)))
+    for b, v, tile, p_valid in [(2, 1000, 128, 0.9), (3, 700, 64, 0.5),
+                                (1, 5, 128, 0.0), (2, 333, 32, 1.0)]:
+        coords = (rng.rand(b, v, 3).astype(np.float32) * 400 - 200)
+        valid = rng.rand(b, v) < p_valid
+        ref = wgeom_host._branch_geometry(coords, valid, ws, qs, tile,
+                                          radial, use_native=False)
+        out = wgeom_host._branch_geometry(coords, valid, ws, qs, tile,
+                                          radial, use_native=True)
+        assert set(ref) == set(out)
+        for key in ref:
+            np.testing.assert_array_equal(ref[key], out[key],
+                                          err_msg=f"{key} b={b} v={v}")
+            assert ref[key].dtype == out[key].dtype, key

@@ -162,9 +162,56 @@ def params_from_model(model) -> Dict:
     )
 
 
+def _branch_geometry_native(coords: np.ndarray, valid: np.ndarray, ws, qs,
+                            tile: int, radial: bool):
+    """C fast path (``native/pointcore.cpp:build_wgeom_branch``); returns
+    None when the library is unavailable. Bit-identical to the numpy
+    implementation below (``tests/test_wgeom.py::test_native_branch_parity``
+    asserts exact equality on every output)."""
+    import ctypes
+
+    from u2mkd_tpu.data import native
+
+    lib = native._load()
+    if lib is None or not hasattr(lib, "build_wgeom_branch"):
+        return None
+    b, v = valid.shape
+    n = b * v
+    pad_to = -(-n // tile) * tile
+    c = np.ascontiguousarray(coords, np.float32)
+    m = np.ascontiguousarray(valid, np.uint8)
+    ws_ = np.ascontiguousarray(ws, np.float32)
+    qs_ = np.ascontiguousarray(qs, np.float32)
+    order = np.empty(pad_to, np.int32)
+    inv = np.empty(n, np.int32)
+    rank = np.empty(pad_to, np.float32)
+    quant = np.empty((pad_to, 3), np.int32)
+    kmin = np.empty(pad_to // tile, np.int32)
+    kmax = np.empty(pad_to // tile, np.int32)
+    occ = np.empty(1, np.int32)
+    r = np.empty(pad_to, np.float32) if radial else None
+    lib.build_wgeom_branch(
+        c.ctypes.data, m.ctypes.data, ctypes.c_int64(b), ctypes.c_int64(v),
+        ws_.ctypes.data, qs_.ctypes.data, ctypes.c_int64(tile),
+        order.ctypes.data, inv.ctypes.data, rank.ctypes.data,
+        quant.ctypes.data, kmin.ctypes.data, kmax.ctypes.data,
+        occ.ctypes.data, r.ctypes.data if radial else None,
+    )
+    out = dict(order=order, inv=inv, rank=rank, quant=quant, kmin=kmin,
+               kmax=kmax, occ=occ)
+    if radial:
+        out["r"] = r
+    return out
+
+
 def _branch_geometry(coords: np.ndarray, valid: np.ndarray, ws, qs,
-                     tile: int, radial: bool) -> Dict[str, np.ndarray]:
+                     tile: int, radial: bool,
+                     use_native: bool = True) -> Dict[str, np.ndarray]:
     """Geometry for one attention branch over one [B, V] voxel batch."""
+    if use_native:
+        nat = _branch_geometry_native(coords, valid, ws, qs, tile, radial)
+        if nat is not None:
+            return nat
     b, v = valid.shape
     n = b * v
     cells = np.stack([window_cells(coords[i], valid[i], ws) for i in range(b)])

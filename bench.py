@@ -182,6 +182,8 @@ def main():
         }))
         return
 
+    infer = "--infer" in sys.argv
+
     # realistic-ish single-sweep scale, sized to keep first-compile tolerable
     batch_size = 2
     num_points = 4096 if quick else 8192
@@ -229,6 +231,42 @@ def main():
 
     tx = optim.make_optimizer("sgd_spformer", 0.02)
     st = train_state.create_train_state(model, tx, batch, caps, jax.random.PRNGKey(0))
+    if infer:
+        # serving path: jitted eval step (forward + argmax + IoU counters),
+        # same program evaluate.py / the Trainer's eval loop runs
+        ev = jax.jit(train_state.make_eval_step(model, caps, 17))
+        t0 = time.time()
+        out = ev(st, batch)
+        jax.block_until_ready(out["pred"])
+        compile_s = time.time() - t0
+        iters = 3 if quick else 10
+        dt = float("inf")
+        for _ in range(1 if quick else 3):
+            t0 = time.time()
+            for _ in range(iters):
+                out = ev(st, batch)
+            jax.block_until_ready(out["pred"])
+            dt = min(dt, (time.time() - t0) / iters)
+        scans_per_sec = batch_size / dt
+        extra = 0.0
+        if pl is not None:
+            from u2mkd_tpu.utils.flops import flash_attention_flops
+
+            extra = flash_attention_flops(model, pl, train=False)
+        mfu, dev_kind = step_mfu(ev, (st, batch), dt, platform,
+                                 extra_flops=extra)
+        print(json.dumps({
+            "metric": "teacher_infer_scans_per_sec",
+            "value": round(scans_per_sec, 3),
+            "unit": f"scans/sec ({platform}, P={num_points}, B={batch_size}, "
+                    + (f"cap0={cap0}, " if cap0 != num_points else "")
+                    + f"compile={compile_s:.0f}s, host_plumb={host_ms:.0f}ms"
+                    + (f", mfu<={mfu * 100:.1f}% of {dev_kind} bf16 peak"
+                       if mfu is not None else "")
+                    + ")",
+            "vs_baseline": 1.0,
+        }))
+        return
     step = jax.jit(train_state.make_train_step(
         model, tx, caps, remat="--remat" in sys.argv
     ))

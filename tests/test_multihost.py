@@ -122,8 +122,19 @@ st = distill.create_distill_state(build(None), tx, lb["student"],
 step = pmesh.data_parallel_step(
     distill.make_distill_train_step(model, tx, S_CAPS, T_CAPS,
                                     axis_name=pmesh.DATA_AXIS), mesh)
-st, aux = step(st, batch, jax.random.PRNGKey(1))
-st, aux = step(st, batch, jax.random.PRNGKey(1))
+# AOT-compile before touching any collective, then rendezvous via a file
+# barrier: the distill program can take minutes to compile on a loaded
+# single-core host, and Gloo's context init times out after 30s if one
+# process reaches the first collective while the other is still compiling.
+compiled = step.lower(st, batch, jax.random.PRNGKey(1)).compile()
+bdir = os.path.dirname(os.path.abspath(sys.argv[0]))
+open(os.path.join(bdir, f"compiled{pid}"), "w").close()
+import time as _time
+while not all(os.path.exists(os.path.join(bdir, f"compiled{i}"))
+              for i in range(2)):
+    _time.sleep(0.05)
+st, aux = compiled(st, batch, jax.random.PRNGKey(1))
+st, aux = compiled(st, batch, jax.random.PRNGKey(1))
 loss = float(aux["loss"])
 ck = float(sum(np.abs(np.asarray(x)).sum()
                for x in jax.tree_util.tree_leaves(

@@ -134,16 +134,71 @@ void box_occupancy(const float* xyz, const int32_t* labels,
 // ---------------------------------------------------------------------------
 
 #include <cmath>
-#include <unordered_map>
+#include <vector>
 
 namespace {
 
+// Open-addressing coord->row map (linear probing, splitmix64). The plumbing
+// builder performs ~100 lookups per voxel (27-neighborhood rulebooks + 8-way
+// point queries per level); std::unordered_map's pointer-chasing made those
+// lookups ~60% of the whole build at 131k points.
 struct CoordMap {
-  std::unordered_map<uint64_t, int32_t> m;
-  int32_t lookup(const int32_t* c) const {
-    auto it = m.find(pack_coord(c));
-    return it == m.end() ? -1 : it->second;
+  std::vector<uint64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask = 0;
+  size_t size = 0;
+
+  void reserve(size_t n) {
+    uint64_t cap = 16;
+    while (cap < 2 * n + 1) cap <<= 1;
+    keys.assign(cap, ~0ULL);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+    size = 0;
   }
+  void grow() {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<int32_t> ov = std::move(vals);
+    keys.assign(ok.size() * 2, ~0ULL);
+    vals.assign(ov.size() * 2, -1);
+    mask = keys.size() - 1;
+    for (size_t i = 0; i < ok.size(); ++i) {
+      if (ok[i] == ~0ULL) continue;
+      uint64_t h = splitmix64(ok[i]) & mask;
+      while (keys[h] != ~0ULL) h = (h + 1) & mask;
+      keys[h] = ok[i];
+      vals[h] = ov[i];
+    }
+  }
+  // insert if absent; returns the row now stored for key
+  int32_t emplace(uint64_t key, int32_t row) {
+    if (mask == 0) reserve(16);
+    uint64_t h = splitmix64(key) & mask;
+    for (;;) {
+      if (keys[h] == ~0ULL) {
+        if (2 * (size + 1) > keys.size()) {
+          grow();
+          return emplace(key, row);
+        }
+        keys[h] = key;
+        vals[h] = row;
+        ++size;
+        return row;
+      }
+      if (keys[h] == key) return vals[h];
+      h = (h + 1) & mask;
+    }
+  }
+  int32_t find(uint64_t key) const {
+    if (mask == 0) return -1;
+    uint64_t h = splitmix64(key) & mask;
+    for (;;) {
+      if (keys[h] == ~0ULL) return -1;
+      if (keys[h] == key) return vals[h];
+      h = (h + 1) & mask;
+    }
+  }
+  int32_t lookup(const int32_t* c) const { return find(pack_coord(c)); }
   int32_t lookup3(int32_t x, int32_t y, int32_t z) const {
     int32_t c[3] = {x, y, z};
     return lookup(c);
@@ -207,6 +262,7 @@ void build_plumbing_host(
   }
 
   std::vector<CoordMap> maps(n_levels);
+  for (int L = 0; L < n_levels; ++L) maps[L].reserve((size_t)caps[L]);
   std::vector<int64_t> nuniq(n_levels, 0);
   std::vector<std::vector<int64_t>> v0_rows(n_levels);  // voxel -> any l0 row? need mean
   // accumulate mean xyz per voxel (level 0 first, coarser from level0 rows)
@@ -228,18 +284,15 @@ void build_plumbing_host(
                     (int32_t)std::floor(pcoords[3 * i + 1]),
                     (int32_t)std::floor(pcoords[3 * i + 2])};
     uint64_t key = pack_coord(c);
-    auto it = maps[0].m.find(key);
-    int32_t row;
-    if (it == maps[0].m.end()) {
+    int32_t row = maps[0].find(key);
+    if (row < 0) {
       if (nuniq[0] >= cap0) continue;  // overflow -> drop
       row = (int32_t)nuniq[0]++;
-      maps[0].m.emplace(key, row);
+      maps[0].emplace(key, row);
       coords[0][3 * row] = c[0];
       coords[0][3 * row + 1] = c[1];
       coords[0][3 * row + 2] = c[2];
       vmask[0][row] = 1;
-    } else {
-      row = it->second;
     }
     p2v[0][i] = row;
     xyz_sum[0][3 * row] += pxyz[3 * i];
@@ -260,18 +313,15 @@ void build_plumbing_host(
         pc[a] = q * s2;
       }
       uint64_t key = pack_coord(pc);
-      auto it = maps[L].m.find(key);
-      int32_t row;
-      if (it == maps[L].m.end()) {
+      int32_t row = maps[L].find(key);
+      if (row < 0) {
         if (nuniq[L] >= caps[L]) { parent[L - 1][v] = -1; koff[L - 1][v] = 0; continue; }
         row = (int32_t)nuniq[L]++;
-        maps[L].m.emplace(key, row);
+        maps[L].emplace(key, row);
         coords[L][3 * row] = pc[0];
         coords[L][3 * row + 1] = pc[1];
         coords[L][3 * row + 2] = pc[2];
         vmask[L][row] = 1;
-      } else {
-        row = it->second;
       }
       parent[L - 1][v] = row;
       // koff: index of delta within off2 ordering (stride of finer level)

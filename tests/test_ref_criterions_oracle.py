@@ -116,3 +116,44 @@ def test_distill_criterion_matches_exec_reference(rng):
     ))
     np.testing.assert_allclose(got_kl, float(out["distill_loss"]),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_cosine_warmup_matches_exec_reference(rng):
+    """Reference ``cosine_schedule_with_warmup`` (core/schedulers.py:10-37)
+    with torchpack dist.size() stubbed: world-scaled effective batch,
+    1000/world warmup iters (0 single-device), cosine to zero."""
+    path = os.path.join(_REF, "core", "schedulers.py")
+    if not os.path.exists(path):
+        pytest.skip("reference snapshot unavailable")
+    with open(path) as f:
+        src = f.read()
+
+    from u2mkd_tpu.train import schedulers as ours
+
+    for world in (1, 4):
+        dist = types.ModuleType("torchpack.distributed")
+        dist.size = lambda w=world: w
+        tp = types.ModuleType("torchpack")
+        tp.distributed = dist
+        saved = {k: sys.modules.get(k) for k in
+                 ("torchpack", "torchpack.distributed")}
+        sys.modules["torchpack"] = tp
+        sys.modules["torchpack.distributed"] = dist
+        try:
+            ns = {"__name__": "ref_schedulers"}
+            exec(compile(src, path, "exec"), ns)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
+        num_epochs, batch, ds = 50, 2, 28130
+        sched = ours.cosine_schedule_with_warmup(num_epochs, batch, ds,
+                                                 world_size=world)
+        for k in (0, 1, 100, 249, 250, 251, 5000, 100000):
+            want = float(ns["cosine_schedule_with_warmup"](
+                k, num_epochs, batch, ds))
+            got = float(sched(k))
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
+                                       err_msg=f"world={world} k={k}")

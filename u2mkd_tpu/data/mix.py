@@ -23,7 +23,10 @@ class PolarMix:
         self.rng = rng or np.random.RandomState()
 
     def __call__(self, pts1, labels1, pts2, labels2,
-                 alpha: float | None = None, beta: float | None = None):
+                 alpha: float | None = None, beta: float | None = None,
+                 omegas: Sequence[float] | None = None):
+        """``omegas``: explicit rotate-paste angles (reference PolarMix draws
+        them once in __init__, utils.py:463); default draws from ``rng``."""
         rng = self.rng
         if alpha is None:
             alpha = rng.random() * np.pi * 2 / 3
@@ -44,8 +47,9 @@ class PolarMix:
         if inst.any():
             pi = pts2[inst]
             li = labels2[inst]
-            omegas = [rng.random() * np.pi * 2 / 3,
-                      (rng.random() + 1) * np.pi * 2 / 3]
+            if omegas is None:
+                omegas = [rng.random() * np.pi * 2 / 3,
+                          (rng.random() + 1) * np.pi * 2 / 3]
             copies, lcopies = [pi], [li]
             for om in omegas:
                 c, s = np.cos(om), np.sin(om)

@@ -81,6 +81,45 @@ def convert_resnet_to_swiftnet(state_dict: Dict[str, "object"],
     return params, stats
 
 
+def convert_swiftnet_full(state_dict: Dict[str, "object"],
+                          layers=(2, 2, 2, 2)) -> Tuple[dict, dict]:
+    """Full reference ``SwiftNetResNet`` state_dict -> flax trees: the
+    resnet backbone plus the SPP (``spp.spp.{spp_bn,spp0..2,spp_fuse}``)
+    and decoder (``upsample.{i}.{bottleneck,blend_conv}``) heads
+    (reference ``swiftnet.py:120-330``). Lets a trained reference image
+    branch be ported verbatim; also the basis of the exec'd-reference
+    whole-forward oracle (``tests/test_ref_swiftnet_oracle.py``)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params, stats = convert_resnet_to_swiftnet(sd, layers)
+
+    def put_brc(scope_parts, prefix):
+        """_BNReluConv: norm (BN) + conv."""
+        if f"{prefix}.conv.weight" not in sd:
+            return
+        p = params
+        s = stats
+        for part in scope_parts[:-1]:
+            p = p.setdefault(part, {})
+            s = s.setdefault(part, {})
+        leaf = scope_parts[-1]
+        p[leaf] = {
+            "norm": {"scale": sd[f"{prefix}.norm.weight"],
+                     "bias": sd[f"{prefix}.norm.bias"]},
+            "conv": {"kernel": _conv(sd[f"{prefix}.conv.weight"])},
+        }
+        s[leaf] = {
+            "norm": {"mean": sd[f"{prefix}.norm.running_mean"],
+                     "var": sd[f"{prefix}.norm.running_var"]},
+        }
+
+    for name in ("spp_bn", "spp0", "spp1", "spp2", "spp_fuse"):
+        put_brc(["spp", name], f"spp.spp.{name}")
+    for i in range(3):
+        put_brc([f"up{i}", "bottleneck"], f"upsample.{i}.bottleneck")
+        put_brc([f"up{i}", "blend_conv"], f"upsample.{i}.blend_conv")
+    return params, stats
+
+
 def _deep_merge(dst, src):
     out = dict(dst)
     for k, v in src.items():

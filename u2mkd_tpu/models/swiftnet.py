@@ -110,7 +110,15 @@ def conv(out_ch, k, stride=1, name=None):
 
 
 class BasicBlock(nn.Module):
-    """ResNet BasicBlock returning (relu(out), pre-activation out)."""
+    """ResNet BasicBlock returning (relu(out), skip).
+
+    The reference intends the skip to be the pre-activation sum (its
+    docstrings say "skip = conv+bn"), but its ``nn.ReLU(inplace=True)``
+    mutates the sum tensor before the pair is returned
+    (``swiftnet.py:28,47-50``), so the skip the decoder/fusion actually
+    receives is POST-relu — both returned tensors are the same storage.
+    Matching the executed behavior, not the comment (caught by
+    ``test_ref_swiftnet_oracle`` with shared weights)."""
 
     planes: int
     stride: int = 1
@@ -128,8 +136,8 @@ class BasicBlock(nn.Module):
             residual = conv(self.planes, 1, self.stride, name="down_conv")(x)
             residual = BatchNorm2d(self.planes, axis_name=self.axis_name,
                                    name="down_bn")(residual, train)
-        out = out + residual
-        return nn.relu(out), out
+        act = nn.relu(out + residual)
+        return act, act
 
 
 class BNReluConv(nn.Module):

@@ -17,6 +17,62 @@ import time
 import numpy as np
 
 
+def bench_e2e(num_points, batch_size, n_batches=24, workers=4):
+    """Sustained END-TO-END teacher training throughput: fresh synthetic
+    scans -> thread-pooled host plumbing + window geometry -> device train
+    step, exactly the production loader pipeline (loaders._epoch_iter /
+    builder.make_synthetic_loaders). Unlike the default device-step row,
+    this includes the host cost and measures how well prefetch overlap
+    hides it. NOTE: this sandbox has ONE physical host core, so the host
+    stages serialize here; production many-core hosts overlap them across
+    loader workers."""
+    import jax
+    import jax.numpy as jnp
+
+    from u2mkd_tpu.data import plumbing_host, synthetic, wgeom_host
+    from u2mkd_tpu.data.prefetch import pipelined_map
+    from u2mkd_tpu.train import optim, state as train_state
+    from __graft_entry__ import _teacher_model
+
+    caps = tuple(num_points // (1 << i) for i in range(5))
+    voxel_size = 0.1
+    model = _teacher_model(num_classes=17, cr=1.0, voxel_size=voxel_size,
+                           pallas_attention=True, pallas_cubic=True)
+    wp = wgeom_host.params_from_model(model)
+
+    def add_plumbing(raw):
+        raw["plumbing"] = plumbing_host.batch_plumbing(
+            raw["pcoords"], raw["xyz"], raw["pmask"], caps, wgeom_params=wp)
+        return raw
+
+    def batches(n, seed0):
+        for i in range(n):
+            rng = np.random.RandomState(seed0 + i)
+            yield synthetic.make_batch(rng, batch_size, num_points,
+                                       voxel_size=voxel_size)
+
+    tx = optim.make_optimizer("sgd_spformer", 0.02)
+    warm = jax.tree_util.tree_map(jnp.asarray,
+                                  add_plumbing(next(batches(1, 999))))
+    st = train_state.create_train_state(model, tx, warm, caps,
+                                        jax.random.PRNGKey(0))
+    step = jax.jit(train_state.make_train_step(model, tx, caps))
+    t0 = time.time()
+    st, out = step(st, warm, jax.random.PRNGKey(1))
+    jax.block_until_ready(out["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    i = 0
+    for raw in pipelined_map(add_plumbing, batches(n_batches, 0), workers):
+        batch = jax.tree_util.tree_map(jnp.asarray, raw)
+        st, out = step(st, batch, jax.random.PRNGKey(2 + i))
+        i += 1
+    jax.block_until_ready(out["loss"])
+    dt = (time.time() - t0) / n_batches
+    return batch_size / dt, compile_s, float(out["loss"])
+
+
 def bench_student(num_points, batch_size, pallas=False, remat=False,
                   t_points=None):
     """Full TSD distillation step: student (LiDAR+cameras) + frozen
@@ -178,6 +234,29 @@ def main():
                     + ("remat, " if remat else "")
                     + f"compile={compile_s:.0f}s, "
                     f"host_plumb={host_ms:.0f}ms, loss={loss:.3f})",
+            "vs_baseline": 1.0,
+        }))
+        return
+
+    if "--e2e" in sys.argv:
+        np_, nb, bs, wk = 2048 if quick else 8192, 8 if quick else 24, 2, 4
+        for a in sys.argv:
+            if a.startswith("--points="):
+                np_ = int(a.split("=")[1])
+            if a.startswith("--batch="):
+                bs = int(a.split("=")[1])
+            if a.startswith("--batches="):
+                nb = int(a.split("=")[1])
+            if a.startswith("--workers="):
+                wk = int(a.split("=")[1])
+        sps, compile_s, loss = bench_e2e(np_, bs, n_batches=nb, workers=wk)
+        print(json.dumps({
+            "metric": "teacher_train_e2e_scans_per_sec",
+            "value": round(sps, 3),
+            "unit": f"scans/sec end-to-end incl. host loader ({platform}, "
+                    f"P={np_}, B={bs}, {nb} fresh batches, {wk} loader "
+                    f"workers on a 1-core sandbox host, "
+                    f"compile={compile_s:.0f}s, loss={loss:.3f})",
             "vs_baseline": 1.0,
         }))
         return

@@ -157,3 +157,42 @@ def test_cosine_warmup_matches_exec_reference(rng):
             got = float(sched(k))
             np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9,
                                        err_msg=f"world={world} k={k}")
+
+
+def test_poly_lr_matches_exec_reference():
+    """Reference ``PolyLR`` lambda (core/schedulers.py:53-57):
+    (1 - s/(max_iter+1))**power, evaluated against our ``poly_lr``."""
+    path = os.path.join(_REF, "core", "schedulers.py")
+    if not os.path.exists(path):
+        pytest.skip("reference snapshot unavailable")
+    src = open(path).read()
+    dist = types.ModuleType("torchpack.distributed")
+    dist.size = lambda: 1
+    tp = types.ModuleType("torchpack")
+    tp.distributed = dist
+    saved = {k: sys.modules.get(k) for k in
+             ("torchpack", "torchpack.distributed")}
+    sys.modules["torchpack"] = tp
+    sys.modules["torchpack.distributed"] = dist
+    try:
+        ns = {"__name__": "ref_schedulers"}
+        exec(compile(src, path, "exec"), ns)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    import torch as _torch
+    from u2mkd_tpu.train import schedulers as ours
+
+    max_iter, power = 70325, 0.9
+    opt = _torch.optim.SGD([_torch.nn.Parameter(_torch.zeros(1))], lr=1.0)
+    ref = ns["PolyLR"](opt, max_iter=max_iter, power=power)
+    sched = ours.poly_lr(max_iter, power=power)
+    for s in (0, 1, 100, 35000, 70324):
+        want = float(ref.lr_lambdas[0](s))
+        got = float(sched(s))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=0,
+                                   err_msg=f"step={s}")

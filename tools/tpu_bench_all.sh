@@ -13,7 +13,9 @@ for args in \
     "--points=131072 --batch=1" \
     "--infer" \
     "--infer --points=131072 --batch=1" \
-    "--student --points=8192 --tpoints=32768 --remat"; do
+    "--student --points=8192 --tpoints=32768 --remat" \
+    "--e2e" \
+    "--e2e --points=32768 --batch=1 --batches=12"; do
   echo "=== bench.py $args ===" | tee -a "$LOG"
   timeout 1800 python bench.py $args 2>>"$LOG" | tee -a "$LOG"
 done

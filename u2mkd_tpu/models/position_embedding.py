@@ -57,8 +57,10 @@ class PositionEmbeddingCoordsSine(nn.Module):
                     2 * (jnp.arange(cd // 2, dtype=jnp.float32)) / cd
                 )
                 raw = xyz[:, ax:ax + 1] * 2 * jnp.pi / dim_t[None, :]
-                embeds.append(jnp.concatenate(
-                    [jnp.sin(raw), jnp.cos(raw)], axis=-1))
+                # reference interleaves sin/cos per frequency
+                # (position_embedding.py:112-114), not blocked [sin..|cos..]
+                embeds.append(jnp.stack(
+                    [jnp.sin(raw), jnp.cos(raw)], axis=-1).reshape(n, cd))
             out = jnp.concatenate(embeds, axis=-1)
             return out[:, : self.d_pos]
         elif self.pos_type == "fourier":

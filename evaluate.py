@@ -49,8 +49,12 @@ def main():
 
         # num_vote > 1 turns on per-pass val augmentation so each vote sums
         # logits over a genuinely different view (reference
-        # nusc_trainers.py:441-550); vote 1 keeps the clean val pipeline
-        _, val_loader = loaders.make_loaders(cfg, tta_val=args.num_vote > 1)
+        # nusc_trainers.py:441-550); vote 1 keeps the clean val pipeline.
+        # n_shards=1: this CLI runs a plain (un-shard_map'd) jit eval step,
+        # so the window geometry must be single-shard even on multi-device
+        # hosts where the training CLIs would pick dp sharding
+        _, val_loader = loaders.make_loaders(cfg, tta_val=args.num_vote > 1,
+                                             n_shards=1)
 
     sample = next(iter(val_loader()))
     st = train_state.create_train_state(

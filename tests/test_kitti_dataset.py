@@ -73,3 +73,22 @@ def test_kitti_pose_warp(tmp_path):
     ).reshape(-1, 4)
     np.testing.assert_allclose(sw_pts[0][:, 0], raw[:, 0] - 2.0, atol=1e-5)
     np.testing.assert_allclose(sw_pts[0][:, 1:3], raw[:, 1:3], atol=1e-5)
+
+
+def test_kitti_tta_votes_differ(tmp_path):
+    """tta=True applies fresh flip/rotate-scale per val pass (the
+    NuScenes_Evaluator vote semantics, nusc_trainers.py:441-550), so
+    evaluate.py --num-vote on a KITTI config sums genuinely different
+    views; tta=False stays deterministic."""
+    root = make_fake_kitti(tmp_path)
+    plain = SemanticKITTI(root, voxel_size=0.2, capacity=2048, split="val")
+    a, b = plain[1], plain[1]
+    np.testing.assert_array_equal(a["xyz"], b["xyz"])
+
+    tta = SemanticKITTI(root, voxel_size=0.2, capacity=2048, split="val",
+                        tta=True)
+    v1, v2 = tta[1], tta[1]
+    m = v1["pmask"] & v2["pmask"]
+    assert not np.allclose(v1["xyz"][m], v2["xyz"][m])
+    # labels of shared raw points are unaffected by the geometry aug
+    assert v1["labels"].shape == v2["labels"].shape

@@ -88,14 +88,11 @@ def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
             )
         return batch
 
-    if workers > 1 and plumbing_caps is not None:
-        from u2mkd_tpu.data.prefetch import pipelined_map
+    from u2mkd_tpu.data.prefetch import maybe_pipelined
 
-        for batch in pipelined_map(add_plumbing, raw_batches(), workers):
-            yield to_device(batch)
-    else:
-        for batch in raw_batches():
-            yield to_device(add_plumbing(batch))
+    for batch in maybe_pipelined(add_plumbing, raw_batches(), workers,
+                                 enabled=plumbing_caps is not None):
+        yield to_device(batch)
 
 
 def dp_shard_count(cfg) -> int:
@@ -121,12 +118,19 @@ def _wgeom_params(cfg):
     return wgeom_host.params_from_cfg(cfg)
 
 
-def make_loaders(cfg, seed: int = 0, tta_val: bool = False):
+def make_loaders(cfg, seed: int = 0, tta_val: bool = False,
+                 n_shards: int = None):
     """Uni-modal loaders (semantic_nusc / semantic_kitti).
 
     ``tta_val=True`` builds the val dataset with per-pass augmentation so
     each vote of a multi-vote evaluation sees a freshly augmented copy with
-    a fixed sample order (reference ``nusc_trainers.py:441-550``)."""
+    a fixed sample order (reference ``nusc_trainers.py:441-550``).
+
+    ``n_shards`` overrides the data-parallel shard count the window
+    geometry is laid out for (default: ``dp_shard_count(cfg)``, matching
+    the training CLIs' shard_map decision). Consumers that run a plain
+    un-shard_map'd jit step on a multi-device host — ``evaluate.py`` —
+    must pass ``n_shards=1`` or the step rejects the geometry."""
     import jax.numpy as jnp
 
     name = cfg.dataset.name
@@ -160,6 +164,7 @@ def make_loaders(cfg, seed: int = 0, tta_val: bool = False):
                 inst_augmenter=_maybe_inst_augmenter(cfg, "kitti")
                 if split == "train" else None,
                 seed=seed,
+                tta=tta_val and split == "val",
             )
         collate_fn = collate
     else:
@@ -189,7 +194,8 @@ def make_loaders(cfg, seed: int = 0, tta_val: bool = False):
     from u2mkd_tpu.data.prefetch import prefetched_loader
 
     wparams = _wgeom_params(cfg) if pcaps is not None else None
-    n_shards = dp_shard_count(cfg)
+    if n_shards is None:
+        n_shards = dp_shard_count(cfg)
     workers = int(cfg.get_path("workers", 4))
 
     def train_loader():
@@ -271,19 +277,16 @@ def make_distill_loaders(cfg, seed: int = 0):
                 batch,
             )
 
-    from u2mkd_tpu.data.prefetch import pipelined_map, prefetched_loader
+    from u2mkd_tpu.data.prefetch import maybe_pipelined, prefetched_loader
 
     workers = int(cfg.get_path("workers", 4))
 
     def _loader(ds, shuffle):
         raw = _epoch_iter(ds, cfg.batch_size, collate_tsd, shuffle, rng,
                           lambda x: x, process_shard=multihost)
-        if workers > 1 and use_host:
-            for b in pipelined_map(add_plumbing, raw, workers):
-                yield to_device(b)
-        else:
-            for b in raw:
-                yield to_device(add_plumbing(b))
+        for b in maybe_pipelined(add_plumbing, raw, workers,
+                                 enabled=use_host):
+            yield to_device(b)
 
     def train_loader():
         return _loader(train_ds, True)

@@ -76,3 +76,16 @@ def prefetched_loader(loader_fn: Callable[[], Iterable], depth: int = 2):
         return prefetch(loader_fn(), depth)
 
     return wrapped
+
+
+def maybe_pipelined(fn, iterable: Iterable, workers: int,
+                    enabled: bool = True) -> Iterator:
+    """The loaders' shared pipeline policy: run ``fn`` (host plumbing +
+    window geometry) through ``pipelined_map`` when ``enabled`` and
+    ``workers > 1``, else apply it inline. One definition so the three
+    loader families (uni-modal, distill, synthetic) cannot drift."""
+    if enabled and workers > 1:
+        yield from pipelined_map(fn, iterable, workers)
+    else:
+        for item in iterable:
+            yield fn(item)

@@ -62,6 +62,7 @@ class SemanticKITTI:
         translate_std=None,
         inst_augmenter=None,
         seed: int = 0,
+        tta: bool = False,
     ):
         with open(os.path.join(root, "semantic-kitti.yaml")) as f:
             cfg = yaml.safe_load(f)
@@ -75,8 +76,14 @@ class SemanticKITTI:
         self.split = split
         self.train = split == "train"
         self.num_sweeps = num_sweeps
-        self.flip_aug = flip_aug and self.train
-        self.rotate_aug = rotate_aug and self.train
+        # tta: fresh flip/rotate-scale per val pass, so multi-vote
+        # evaluation sums genuinely different views (same semantics as
+        # SemanticNusc; reference NuScenes_Evaluator pattern,
+        # nusc_trainers.py:441-550)
+        self.tta = tta and not self.train
+        aug_on = self.train or self.tta
+        self.flip_aug = flip_aug and aug_on
+        self.rotate_aug = rotate_aug and aug_on
         self.translate_std = translate_std if self.train else None
         self.inst_augmenter = inst_augmenter if self.train else None
         self.rng = np.random.RandomState(seed)

@@ -61,6 +61,18 @@ def make_global_mesh(axis: str = DATA_AXIS) -> Mesh:
 HOST_LOCAL_KEYS = ("infos", "lidar_tokens")
 
 
+def device_batch(batch):
+    """The jit-safe view of a loader batch: top-level host-local metadata
+    (``infos`` ragged dicts, ``lidar_tokens`` strings — present in every
+    real-dataset batch) is dropped; everything else passes through. Every
+    call into a jitted/shard_map'd step must go through this — string or
+    ragged leaves otherwise raise a TypeError at trace time (and would
+    force per-batch recompiles even if they traced)."""
+    if isinstance(batch, dict):
+        return {k: v for k, v in batch.items() if k not in HOST_LOCAL_KEYS}
+    return batch
+
+
 def shard_host_batch(batch, mesh: Mesh):
     """Per-process local batch -> globally sharded jax.Arrays.
 

@@ -147,14 +147,11 @@ def make_synthetic_loaders(cfg: Config, seed: int = 0):
         rng = np.random.RandomState(rng_seed)
         raw = (synthetic.make_batch(rng, b, p, cfg.dataset.voxel_size)
                for _ in range(n))
-        if workers > 1 and caps is not None:
-            from u2mkd_tpu.data.prefetch import pipelined_map
+        from u2mkd_tpu.data.prefetch import maybe_pipelined
 
-            for x in pipelined_map(add_plumbing, raw, workers):
-                yield to_dev(x)
-        else:
-            for x in raw:
-                yield to_dev(add_plumbing(x))
+        for x in maybe_pipelined(add_plumbing, raw, workers,
+                                 enabled=caps is not None):
+            yield to_dev(x)
 
     def train_loader():
         return _loader(seed, n_train)

@@ -16,6 +16,7 @@ from typing import Callable, Dict, Iterable, List, Optional
 import jax
 import numpy as np
 
+from u2mkd_tpu.parallel.mesh import device_batch
 from u2mkd_tpu.train import metrics as M
 
 
@@ -56,7 +57,7 @@ def evaluate_tta(
     for vote in range(num_vote):
         si = 0
         for batch in loader():
-            out = eval_step(state, batch)
+            out = eval_step(state, device_batch(batch))
             logits = np.asarray(jax.device_get(out[logits_key]))
             infos = batch.get("infos")
             b = logits.shape[0]

@@ -18,6 +18,7 @@ from typing import Callable, Dict, Iterable, List, NamedTuple, Optional
 import jax
 import numpy as np
 
+from u2mkd_tpu.parallel.mesh import device_batch
 from u2mkd_tpu.train import metrics as M
 from u2mkd_tpu.train.checkpoints import CheckpointManager
 
@@ -211,7 +212,7 @@ class Trainer:
         raw_keys = set()
         for batch in self.val_loader():
             t0 = time.time()
-            out = self.eval_step(self.state, batch)
+            out = self.eval_step(self.state, device_batch(batch))
             jax.block_until_ready(out)
             infer_times.append(time.time() - t0)
             use_raw = (
@@ -263,7 +264,8 @@ class Trainer:
             n_steps = 0
             for batch in self.train_loader():
                 self.rng, sub = jax.random.split(self.rng)
-                self.state, aux = self.train_step(self.state, batch, sub)
+                self.state, aux = self.train_step(self.state,
+                                                  device_batch(batch), sub)
                 self.global_step += 1
                 n_steps += 1
                 if self.global_step % self.log_every == 0:

@@ -73,20 +73,16 @@ def stats_for_model(model, pl, tile: int = 128, band_cubic: int = 1,
         # paths truncate. With pallas_attention on, the cubic branch runs
         # flash too unless pallas_cubic is off.
         flash_cubic = flash and bool(getattr(model, "pallas_cubic", True))
+
         if pl.wgeom is not None:
             # host-precomputed geometry carries exact occupancies for free
-            for li in range(1, min(len(pl.levels), 5)):
-                occ_c = jnp.max(pl.wgeom["cubic"][li - 1].occ)
-                occ_s = jnp.max(pl.wgeom["sphere"][li - 1].occ)
-                out[f"overflow/occ_cubic_l{li}"] = occ_c
-                out[f"overflow/occ_sphere_l{li}"] = occ_s
-                if not flash_cubic:
-                    violations += (occ_c > band_cubic * tile).astype(jnp.int32)
-                if not flash:
-                    violations += (occ_s > band_sphere * tile).astype(jnp.int32)
+            def occupancies(li):
+                return (jnp.max(pl.wgeom["cubic"][li - 1].occ),
+                        jnp.max(pl.wgeom["sphere"][li - 1].occ))
         else:
             windows = _level_windows(model)
-            for li in range(1, min(len(pl.levels), 5)):
+
+            def occupancies(li):
                 ws, wss = windows[li - 1]
                 xyz = pl.vox_xyz[li]
                 mask = pl.levels[li].grid.mask
@@ -95,12 +91,18 @@ def stats_for_model(model, pl, tile: int = 128, band_cubic: int = 1,
                 sph = jax.vmap(wattn.cart2sphere)(xyz)
                 occ_s = jnp.max(jax.vmap(
                     lambda x, m: max_window_occupancy(x, m, wss))(sph, mask))
-                out[f"overflow/occ_cubic_l{li}"] = occ_c
-                out[f"overflow/occ_sphere_l{li}"] = occ_s
-                if not flash_cubic:
-                    violations += (occ_c > band_cubic * tile).astype(jnp.int32)
-                if not flash:
-                    violations += (occ_s > band_sphere * tile).astype(jnp.int32)
+                return occ_c, occ_s
+
+        # one recording/violation policy for both occupancy sources (only
+        # banded XLA branches truncate; flash is exact at any occupancy)
+        for li in range(1, min(len(pl.levels), 5)):
+            occ_c, occ_s = occupancies(li)
+            out[f"overflow/occ_cubic_l{li}"] = occ_c
+            out[f"overflow/occ_sphere_l{li}"] = occ_s
+            if not flash_cubic:
+                violations += (occ_c > band_cubic * tile).astype(jnp.int32)
+            if not flash:
+                violations += (occ_s > band_sphere * tile).astype(jnp.int32)
     out["overflow/violations"] = violations
     return out
 

@@ -42,6 +42,15 @@ def _branch_spec(d: int, g: int, radial: bool):
     return sk, sv
 
 
+def geom_tile(geom: Dict[str, np.ndarray]) -> int:
+    """The query-tile size this geometry was laid out with — derived the
+    same way the kernel does it (``flash_pregeom_batched``:
+    pad_to // len(kmin)), so FLOP accounting can never disagree with the
+    executed tile (configs may set model.attn_tile != 128, and
+    ``branch_tile`` may narrow it)."""
+    return int(geom["rank"].shape[-1]) // int(geom["kmin"].shape[-1])
+
+
 def _tile_pairs(geom: Dict[str, np.ndarray], tile: int) -> int:
     """Total (query-tile, key-tile) kernel-loop trips over all shards."""
     kmin = np.asarray(geom["kmin"]).astype(np.int64)
@@ -77,8 +86,8 @@ def level_attn_specs(model):
     return out
 
 
-def flash_attention_flops(model, plumbing: Dict, train: bool = True,
-                          tile: int = 128) -> float:
+def flash_attention_flops(model, plumbing: Dict,
+                          train: bool = True) -> float:
     """Executed matmul FLOPs of every flash-attention custom call in one
     step of ``model`` over ``plumbing`` (a host ``batch_plumbing`` dict
     with a ``wgeom`` entry). ``train=True`` includes the two backward
@@ -94,6 +103,7 @@ def flash_attention_flops(model, plumbing: Dict, train: bool = True,
             ("sphere", h2, g_sph, True),
         ):
             geom = wg[branch][li]
+            tile = geom_tile(geom)
             pairs = _tile_pairs(geom, tile)
             sk, sv = _branch_spec(d, g, radial)
             fwd = 2 * tile * tile * (2 * sk + sv)

@@ -192,9 +192,44 @@ def step_mfu(jitted, args, step_seconds, platform, extra_flops=0.0):
         return None, kind
 
 
+def _init_watchdog(seconds: int):
+    """Emit the one JSON line and exit if jax backend init never returns.
+
+    When the remote TPU tunnel is down, backend init (even under
+    JAX_PLATFORMS=cpu with the tunnel plugin registered) can block forever
+    in the plugin's relay retry loop; without this the driver records a
+    hang instead of a result. A daemon THREAD (not SIGALRM — the main
+    thread is blocked inside a C call, so a Python signal handler would
+    never run) prints the line and hard-exits; cancelled via the returned
+    Event as soon as devices enumerate."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(seconds):
+            return
+        print(json.dumps({
+            "metric": "teacher_train_scans_per_sec",
+            "value": 0.0,
+            "unit": f"scans/sec (FAILED: jax backend init exceeded "
+                    f"{seconds}s — TPU tunnel down?)",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(1)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
+    _watchdog_done = _init_watchdog(
+        int(os.environ.get("U2MKD_BENCH_INIT_TIMEOUT", "900")))
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    _watchdog_done.set()
 
     from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
 

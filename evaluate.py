@@ -43,7 +43,8 @@ def main():
     tx = builder.make_optimizer_and_schedule(cfg)
     caps = tuple(cfg.capacities)
     if cfg.dataset.name == "synthetic":
-        _, val_loader = builder.make_synthetic_loaders(cfg)
+        # n_shards=1 for the same reason as the real-data branch below
+        _, val_loader = builder.make_synthetic_loaders(cfg, n_shards=1)
     else:
         from u2mkd_tpu.data import loaders
 
@@ -56,7 +57,13 @@ def main():
         _, val_loader = loaders.make_loaders(cfg, tta_val=args.num_vote > 1,
                                              n_shards=1)
 
-    sample = next(iter(val_loader()))
+    # draw ONE batch for state init, then close the iterator so its
+    # prefetch worker stops instead of racing vote 0 over the shared
+    # dataset RandomState
+    _it = iter(val_loader())
+    sample = next(_it)
+    if hasattr(_it, "close"):
+        _it.close()
     st = train_state.create_train_state(
         model, tx, sample, caps, jax.random.PRNGKey(0)
     )

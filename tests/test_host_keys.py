@@ -127,3 +127,21 @@ def test_evaluate_tta_jitted_step_with_real_batch(rng):
     res = E.evaluate_tta(eval_step, state, lambda: iter(batches), ncls, 0,
                          num_vote=2)
     assert 0.0 <= res["miou"] <= 1.0
+
+
+def test_to_local_device_keeps_infos_host_side(rng):
+    from u2mkd_tpu.parallel.mesh import to_local_device
+
+    batch = _real_shaped_batch(rng)
+    up = to_local_device(batch)
+    # array leaves uploaded
+    assert isinstance(up["feats"], jax.Array)
+    assert isinstance(up["pmask"], jax.Array)
+    # host-local metadata untouched (no H2D of raw-cloud arrays)
+    assert isinstance(up["infos"][0]["inverse_map"], np.ndarray)
+    assert up["lidar_tokens"] == batch["lidar_tokens"]
+    # nested dicts (distill batches) walk through
+    nested = {"student": {"feats": batch["feats"]}, "infos": batch["infos"]}
+    up2 = to_local_device(nested)
+    assert isinstance(up2["student"]["feats"], jax.Array)
+    assert isinstance(up2["infos"][0]["labels_full"], np.ndarray)

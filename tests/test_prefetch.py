@@ -109,3 +109,50 @@ def _flatten(tree):
     import jax
 
     return jax.tree_util.tree_flatten(tree)
+
+
+def test_prefetch_close_stops_worker():
+    """Closing a prefetch generator stops the worker from driving the
+    source (an abandoned epoch iterator would otherwise keep augmenting
+    batches in the background, racing a fresh iterator over the same
+    dataset RandomState — the evaluate.py init-sample pattern)."""
+    from u2mkd_tpu.data.prefetch import prefetch
+
+    produced = []
+    done = threading.Event()
+
+    def src():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+        done.set()
+
+    gen = prefetch(src(), depth=2)
+    first = next(gen)
+    assert first == 0
+    gen.close()
+    n_at_close = len(produced)
+    time.sleep(0.5)
+    # worker must have stopped: no unbounded consumption after close
+    assert len(produced) <= n_at_close + 2
+    assert not done.is_set()
+
+
+def test_prefetch_close_unwinds_pipeline():
+    """close() propagates through maybe_pipelined so the thread pool and
+    the source generator are shut down too."""
+    from u2mkd_tpu.data.prefetch import maybe_pipelined, prefetch
+
+    consumed = []
+
+    def src():
+        for i in range(1000):
+            consumed.append(i)
+            yield i
+
+    gen = prefetch(maybe_pipelined(lambda x: x + 1, src(), workers=2), depth=2)
+    assert next(gen) == 1
+    gen.close()
+    n = len(consumed)
+    time.sleep(0.5)
+    assert len(consumed) <= n + 8  # pool depth worth of slack, no more

@@ -183,13 +183,7 @@ def make_loaders(cfg, seed: int = 0, tta_val: bool = False,
         def to_device(batch):
             return pmesh.shard_host_batch(batch, gmesh)
     else:
-        def to_device(batch):
-            import jax
-
-            return jax.tree_util.tree_map(
-                lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
-                batch,
-            )
+        from u2mkd_tpu.parallel.mesh import to_local_device as to_device
 
     from u2mkd_tpu.data.prefetch import prefetched_loader
 
@@ -269,13 +263,7 @@ def make_distill_loaders(cfg, seed: int = 0):
         def to_device(batch):
             return pmesh.shard_host_batch(batch, gmesh)
     else:
-        def to_device(batch):
-            import jax.numpy as jnp
-
-            return jax.tree_util.tree_map(
-                lambda v: jnp.asarray(v) if isinstance(v, np.ndarray) else v,
-                batch,
-            )
+        from u2mkd_tpu.parallel.mesh import to_local_device as to_device
 
     from u2mkd_tpu.data.prefetch import maybe_pipelined, prefetched_loader
 

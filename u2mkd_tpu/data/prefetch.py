@@ -17,28 +17,52 @@ _SENTINEL = object()
 
 
 def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
-    """Iterate ``iterable`` on a worker thread, keeping ``depth`` items ready."""
+    """Iterate ``iterable`` on a worker thread, keeping ``depth`` items ready.
+
+    Closing the returned generator (``gen.close()``, or dropping it) stops
+    the worker promptly instead of letting it keep driving the source
+    iterable in the background — an abandoned epoch iterator would
+    otherwise keep augmenting batches concurrently with a new one over the
+    same dataset RandomState."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterable:
-                q.put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    break
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            if stop.is_set():
+                close = getattr(iterable, "close", None)
+                if close is not None:
+                    close()  # unwind pipelined_map's thread pool now
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def pipelined_map(fn, iterable: Iterable, workers: int,

@@ -73,6 +73,27 @@ def device_batch(batch):
     return batch
 
 
+def to_local_device(batch):
+    """Single-host batch upload: ``jnp.asarray`` every numpy leaf EXCEPT
+    the ``HOST_LOCAL_KEYS`` subtrees, which stay host-side numpy/python.
+    The infos carry full raw-cloud arrays (inds/inverse_map/labels_full)
+    consumed only by host-side raw-point scoring — uploading them would be
+    pure wasted H2D/D2H traffic on every batch (the multihost
+    ``shard_host_batch`` already keeps them process-local)."""
+    import jax.numpy as jnp
+
+    def walk(x):
+        if isinstance(x, dict):
+            return {
+                k: v if k in HOST_LOCAL_KEYS else walk(v) for k, v in x.items()
+            }
+        if isinstance(x, (list, tuple)):
+            return type(x)(walk(v) for v in x)
+        return jnp.asarray(x) if isinstance(x, np.ndarray) else x
+
+    return walk(batch)
+
+
 def shard_host_batch(batch, mesh: Mesh):
     """Per-process local batch -> globally sharded jax.Arrays.
 

@@ -101,17 +101,21 @@ def make_optimizer_and_schedule(cfg: Config, world_size: int = 1):
     return tx
 
 
-def make_synthetic_loaders(cfg: Config, seed: int = 0):
+def make_synthetic_loaders(cfg: Config, seed: int = 0,
+                           n_shards: int = None):
     """Synthetic train/val loader callables (batch dicts of jnp arrays).
 
     Mirrors the real loaders' production pipeline: host plumbing (+ window
     geometry for pallas models) built on a thread pool
     (``prefetch.pipelined_map``) so device steps overlap the 150-360 ms/batch
-    host build (PERF.md round 3)."""
-    import jax
+    host build (PERF.md round 3). ``n_shards`` has ``make_loaders``
+    semantics: geometry shard-count override for consumers running a plain
+    un-shard_map'd jit step (``evaluate.py``); default matches the
+    training CLIs' ``dp_shard_count`` decision."""
     import jax.numpy as jnp
 
     from u2mkd_tpu.data import synthetic
+    from u2mkd_tpu.data.loaders import _wgeom_params, dp_shard_count
 
     b = cfg.batch_size
     p = cfg.dataset.num_points
@@ -120,15 +124,9 @@ def make_synthetic_loaders(cfg: Config, seed: int = 0):
     use_host = bool(cfg.get_path("host_plumbing", True))
     caps = tuple(cfg.capacities) if use_host else None
     workers = int(cfg.get_path("workers", 4))
-    wparams = None
-    if use_host and cfg.model.get("pallas_attention", False) \
-            and "spformer" in cfg.model.name:
-        from u2mkd_tpu.data import wgeom_host
-
-        wparams = wgeom_host.params_from_cfg(cfg)
-    n_shards = 1
-    if jax.device_count() > 1 and b % jax.device_count() == 0:
-        n_shards = jax.local_device_count()
+    wparams = _wgeom_params(cfg) if use_host else None
+    if n_shards is None:
+        n_shards = dp_shard_count(cfg)
 
     def add_plumbing(x):
         if caps is not None:
@@ -141,6 +139,8 @@ def make_synthetic_loaders(cfg: Config, seed: int = 0):
         return x
 
     def to_dev(x):
+        import jax
+
         return jax.tree_util.tree_map(jnp.asarray, x)
 
     def _loader(rng_seed, n):

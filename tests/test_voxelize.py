@@ -116,9 +116,19 @@ def test_devoxelize_nearest(rng):
     res = np.asarray(voxelize.trilinear_devoxelize(out["vfeats"], idx8, w8))
     vfeats = np.asarray(out["vfeats"])
     p2v = np.asarray(out["p2v"])
-    # nearest: renormalized single-neighbor weight ~= 1 -> feature of own voxel
-    exp = vfeats[np.clip(p2v, 0, cap - 1)]
+    # reference nearest semantics (utils.py:95-97): zero the non-self
+    # entries of calc_ti_weights' NORMALIZED output, no renorm -> the own
+    # voxel's feature scaled by its normalized trilinear weight w0 <= 1
+    idx8f, w8f = voxelize.voxel_to_point_query(
+        jnp.asarray(pts), jnp.asarray(mask), 1, out["key_hi"], out["key_lo"],
+        nearest=False,
+    )
+    w0 = np.asarray(w8f)[:, 0]
+    exp = vfeats[np.clip(p2v, 0, cap - 1)] * w0[:, None]
     np.testing.assert_allclose(res[mask], exp[mask], rtol=1e-3, atol=1e-4)
+    # self-row weight never exceeds 1 and is strictly < 1 for off-center pts
+    assert np.all(np.asarray(w8)[:, 0] <= 1.0 + 1e-6)
+    assert np.all(np.asarray(w8)[mask, 1:] == 0.0)
 
 
 def test_point_to_voxel_mean(rng):

@@ -25,10 +25,21 @@ from u2mkd_tpu.ops import spconv
 
 
 def conv_kernel_init(key, shape, dtype=jnp.float32):
-    """He-uniform over fan_in = K * Cin (torch kaiming_uniform analogue)."""
+    """torchsparse Conv3d init: uniform(-s, s) with s = 1/sqrt(K * Cin)
+    (torchsparse 1.4 ``reset_parameters``; same bound as torch's default
+    ``kaiming_uniform_(a=sqrt(5))``). NOT plain He-uniform — that bound is
+    sqrt(6)x wider and changes from-scratch training dynamics vs the
+    reference recipe."""
     k, cin, cout = shape
-    fan_in = k * cin
-    bound = (6.0 / fan_in) ** 0.5
+    bound = (k * cin) ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def deconv_kernel_init(key, shape, dtype=jnp.float32):
+    """Transposed variant: torchsparse uses OUT channels in the fan
+    (``reset_parameters`` picks out_channels when transposed)."""
+    k, cin, cout = shape
+    bound = (k * cout) ** -0.5
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
@@ -109,7 +120,8 @@ class SparseDeconv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, up_parent, up_koff):
-        w = self.param("kernel", conv_kernel_init, (8, feats.shape[-1], self.out_ch))
+        w = self.param("kernel", deconv_kernel_init,
+                       (8, feats.shape[-1], self.out_ch))
         return jax.vmap(
             lambda f, p, k: spconv.sparse_conv_transposed_2x2(f, p, k, w)
         )(feats, up_parent, up_koff)

@@ -37,13 +37,18 @@ class FusionAwareInterp(nn.Module):
     k: int = 1
 
     @nn.compact
-    def __call__(self, uv, feat_3d, grid_hw: Tuple[int, int]):
-        """uv [N, 2] pixel coords; feat_3d [N, C3]; returns [H, W, C3]."""
+    def __call__(self, uv, feat_3d, grid_hw: Tuple[int, int], mask=None):
+        """uv [N, 2] pixel coords; feat_3d [N, C3]; returns [H, W, C3].
+
+        ``mask`` [N] bool excludes padded/invalid points from the kNN —
+        fixed-capacity point buffers park dead rows at uv=(0, 0), which
+        would otherwise win nearest-neighbor for pixels near the origin
+        and splat zero features at distance ~0."""
         h, w = grid_hw
         gx = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
         gy = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
         grid = jnp.stack([gx, gy], axis=-1)  # [HW, 2]
-        idx = knn(grid, uv, self.k)  # [HW, k]
+        idx = knn(grid, uv, self.k, points_valid=mask)  # [HW, k]
         knn_uv = uv[idx]  # [HW, k, 2]
         knn_f = feat_3d[idx]  # [HW, k, C3]
         off = knn_uv - grid[:, None, :]
@@ -83,13 +88,14 @@ class CLFM(nn.Module):
     in_channels_3d: int
 
     @nn.compact
-    def __call__(self, uv, feat_2d, feat_3d):
-        """uv [N, 2] pixel coords; feat_2d [H, W, C2]; feat_3d [N, C3].
-        Returns (out2d [H, W, C2], out3d [N, C3])."""
+    def __call__(self, uv, feat_2d, feat_3d, mask=None):
+        """uv [N, 2] pixel coords; feat_2d [H, W, C2]; feat_3d [N, C3];
+        ``mask`` [N] bool marks live points (padding excluded from the kNN
+        splat). Returns (out2d [H, W, C2], out3d [N, C3])."""
         h, w, _ = feat_2d.shape
         sg = jax.lax.stop_gradient
         interp = FusionAwareInterp(self.in_channels_3d, name="interp")(
-            uv, sg(feat_3d), (h, w)
+            uv, sg(feat_3d), (h, w), mask=mask
         )
         out2d = SKFusion(self.in_channels_2d, reduction=2, name="fuse2d")(
             feat_2d, interp

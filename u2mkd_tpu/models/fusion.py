@@ -62,24 +62,15 @@ def point_to_grid(pfeats: jax.Array, coords: jax.Array, mask: jax.Array,
 
     uv = floor((coord + 1)/2 * (dim - 1)); points sharing a pixel average.
     """
+    from u2mkd_tpu.ops.voxelize import segment_mean
+
     h, w = size
-    p, c = pfeats.shape
     u = jnp.floor((coords[:, 0] + 1.0) * 0.5 * (w - 1)).astype(jnp.int32)
     v = jnp.floor((coords[:, 1] + 1.0) * 0.5 * (h - 1)).astype(jnp.int32)
     ok = mask & (u >= 0) & (u < w) & (v >= 0) & (v < h)
-    pid = jnp.where(ok, v * w + u, h * w)
-    sums = (
-        jnp.zeros((h * w + 1, c), pfeats.dtype)
-        .at[pid]
-        .add(jnp.where(ok[:, None], pfeats, 0.0), mode="drop")[: h * w]
-    )
-    cnt = (
-        jnp.zeros((h * w + 1,), jnp.int32)
-        .at[pid]
-        .add(ok.astype(jnp.int32), mode="drop")[: h * w]
-    )
-    grid = sums / jnp.maximum(cnt, 1)[:, None].astype(pfeats.dtype)
-    return grid.reshape(h, w, c)
+    pid = jnp.where(ok, v * w + u, h * w)  # drop bucket = h*w
+    grid = segment_mean(pfeats, pid, h * w)
+    return grid.reshape(h, w, pfeats.shape[-1])
 
 
 def feature_fetch(fmaps: jax.Array, coords: jax.Array, cam_masks: jax.Array) -> jax.Array:

@@ -168,6 +168,11 @@ class SphereFormerSemantic(nn.Module):
         lv0 = plumbing.levels[0]
         x = point_to_voxel(pfeats, plumbing.p2v0_feats_seg, lv0.grid.capacity)
         x = blocks.SparseConv(self.n_planes[0], 3, name="input_conv")(x, lv0.nbr27)
+        # reference roundtrip after input_conv: devoxelize to points then
+        # re-pool per voxel (unet_spherical_transformer.py:366-367 —
+        # z0 = voxel_to_point(output, z); output = point_to_voxel(output, z0))
+        z0 = voxel_to_point(x, plumbing.devox_idx[0], plumbing.devox_w[0])
+        x = point_to_voxel(z0, plumbing.p2v0_feats_seg, lv0.grid.capacity)
         vox_xyz = recursive_vox_xyz(plumbing)
         x = UBlock(
             n_planes=self.n_planes, level_idx=0,
@@ -183,6 +188,12 @@ class SphereFormerSemantic(nn.Module):
         x = blocks.MaskedBatchNorm(self.n_planes[0], axis_name=self.axis_name,
                                    name="output_bn")(x, lv0.grid.mask, train)
         x = nn.relu(x)
-        # per-point logits via the level-0 trilinear query
-        z = voxel_to_point(x, plumbing.devox_idx[0], plumbing.devox_w[0])
+        # per-point logits: each point reads its OWN level-0 voxel row — the
+        # reference scores the deduplicated voxel set and its trainer maps
+        # scores to points via the exact inverse map
+        # (unet_spherical_transformer.py:372-375), NOT a trilinear blend
+        rows = plumbing.p2v[0]  # [B, P], -1 for dead rows
+        safe = jnp.clip(rows, 0, x.shape[1] - 1)
+        z = jnp.take_along_axis(x, safe[..., None], axis=1)
+        z = jnp.where(rows[..., None] >= 0, z, 0.0)
         return {"x_vox": nn.Dense(self.num_classes, name="classifier")(z)}

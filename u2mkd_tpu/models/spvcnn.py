@@ -115,15 +115,15 @@ class SPVCNN(nn.Module):
 
         x1, x2, x3, x4 = vox_feats[1], vox_feats[2], vox_feats[3], vox_feats[4]
 
+        x4_pts = voxel_to_point(x4, plumbing.devox_idx[4], plumbing.devox_w[4])
         if self.return_point_feats:
             # KD feature export: stage-4 encoder(+transformer) output
-            # devoxelized to points (reference teacher inside the TSD wrapper,
+            # devoxelized to points — the SAME tensor the decoder consumes
+            # as z1's base (reference teacher inside the TSD wrapper,
             # spvcnn_swiftnet18_spformer_tsd_full.py:153-154)
-            kd_pts_feats = voxel_to_point(
-                x4, plumbing.devox_idx[4], plumbing.devox_w[4]
-            )
+            kd_pts_feats = x4_pts
 
-        z1 = voxel_to_point(x4, plumbing.devox_idx[4], plumbing.devox_w[4])
+        z1 = x4_pts
         z1 = z1 + blocks.PointMLP(cs[4], axis_name=ax, name="point_transform0")(
             z0, pmask, train
         )

@@ -83,8 +83,12 @@ class BatchNorm2d(nn.Module):
         if train:
             axes = tuple(range(x.ndim - 1))
             cnt = jnp.asarray(np.prod(x.shape[:-1]), jnp.float32)
-            s1 = jnp.sum(x, axis=axes)
-            s2 = jnp.sum(x * x, axis=axes)
+            # f32 statistics regardless of the bf16 compute policy
+            # (ops/precision.py): bf16 sums over millions of pixels lose
+            # the variance to cancellation in s2/cnt - mean^2
+            xf = x.astype(jnp.float32)
+            s1 = jnp.sum(xf, axis=axes)
+            s2 = jnp.sum(xf * xf, axis=axes)
             if self.axis_name is not None:
                 cnt = jax.lax.psum(cnt, self.axis_name)
                 s1 = jax.lax.psum(s1, self.axis_name)

@@ -66,10 +66,16 @@ def build_nbr(grid: VoxelGrid, ks: int) -> jax.Array:
 
 
 def gather_rows(feats: jax.Array, rows: jax.Array) -> jax.Array:
-    """feats[rows] with -1/-out-of-range rows producing zero rows."""
+    """feats[rows] with -1/-out-of-range rows producing zero rows.
+
+    Both drop conventions zero out: -1 sentinels (the in-jit rulebook
+    builders) AND rows >= len(feats) (the ``capacity``-as-drop-index
+    convention of unique_keys/segment ops) — a clip-only guard would leak
+    the LAST row's features into absent-neighbor slots."""
     safe = jnp.clip(rows, 0, feats.shape[0] - 1)
     g = feats[safe]
-    return jnp.where((rows >= 0)[..., None], g, 0)
+    ok = (rows >= 0) & (rows < feats.shape[0])
+    return jnp.where(ok[..., None], g, 0)
 
 
 def sparse_conv(feats: jax.Array, nbr: jax.Array, weight: jax.Array,

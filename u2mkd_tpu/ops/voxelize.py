@@ -125,11 +125,11 @@ def kernel_offsets_2() -> jax.Array:
 def trilinear_weights(pcoords: jax.Array, stride: int) -> jax.Array:
     """Per-point trilinear weights for the 8 kernel-offset neighbors.
 
-    Equivalent to torchsparse ``calc_ti_weights(z.C, idx_query, scale=s)``
-    (reference ``core/models/utils.py:94``): with p = C/s, frac = p - floor(p),
-    weight for offset (dx,dy,dz) = prod(frac if d==1 else 1-frac).
-    Missing neighbors are zeroed by the caller; weights are NOT renormalized
-    (torchsparse semantics).
+    The raw-product stage of torchsparse ``calc_ti_weights(z.C, idx_query,
+    scale=s)`` (reference ``core/models/utils.py:94``): with p = C/s,
+    frac = p - floor(p), weight for offset (dx,dy,dz) = prod(frac if d==1
+    else 1-frac). The caller zeroes missing neighbors and renormalizes over
+    the present ones (calc_ti_weights ends with ``w /= w.sum(0) + 1e-8``).
     """
     p = pcoords / stride
     frac = p - jnp.floor(p)  # [P, 3]
@@ -153,6 +153,10 @@ def voxel_to_point_query(
     missing, w8 [P,8] float with zeros for missing). Weights are zeroed for
     missing neighbors then renormalized over the present ones
     (torchsparse ``calc_ti_weights`` ends with ``w /= w.sum(0) + 1e-8``).
+    ``nearest`` zeroes the non-self entries AFTER that normalization with
+    NO renorm — the reference applies it on calc_ti_weights' output
+    (``utils.py:95-97``), so the self weight stays the normalized trilinear
+    w0 <= 1, not 1.0.
     """
     base = jnp.floor(pcoords / stride).astype(jnp.int32) * stride
     offs = kernel_offsets_2() * stride  # [8, 3]
@@ -160,11 +164,11 @@ def voxel_to_point_query(
     qvalid = jnp.broadcast_to(pmask[:, None], qc.shape[:2])
     idx8 = hashing.lookup_coords(qc, qvalid, key_hi, key_lo)  # [P, 8]
     w8 = trilinear_weights(pcoords, stride).astype(jnp.float32)
+    w8 = jnp.where(idx8 >= 0, w8, 0.0)
+    w8 = w8 / (jnp.sum(w8, axis=-1, keepdims=True) + 1e-8)
     if nearest:
         w8 = w8.at[:, 1:].set(0.0)
         idx8 = idx8.at[:, 1:].set(-1)
-    w8 = jnp.where(idx8 >= 0, w8, 0.0)
-    w8 = w8 / (jnp.sum(w8, axis=-1, keepdims=True) + 1e-8)
     return idx8, w8
 
 

@@ -106,9 +106,12 @@ def main():
         from u2mkd_tpu.train import checkpoints as ckpt_lib
 
         pretrain = cfg.get_path("model.pretrain_weight")
-        if pretrain:  # backbone pretrain sans classifier
+        if pretrain:  # backbone pretrain sans classifier (+ BN buffers)
             st = st.replace(
-                params=ckpt_lib.load_pretrain_params(pretrain, st.params)
+                params=ckpt_lib.load_pretrain_params(pretrain, st.params),
+                batch_stats=ckpt_lib.load_pretrain_batch_stats(
+                    pretrain, st.batch_stats
+                ),
             )
             print(f"loaded pretrain (no classifier) from {pretrain}")
         teacher = cfg.get_path("model.teacher_pretrain")

@@ -83,6 +83,11 @@ def make_optimizer_and_schedule(cfg: Config, world_size: int = 1):
             cfg.num_epochs, cfg.batch_size, cfg.data.training_size, world_size
         )
     elif name == "poly":
+        # max_iter is a SAMPLE count, not an optimizer-step count — that is
+        # the reference's own construction (builder.py:740-743 passes
+        # num_epochs * training_size to a per-step PolyLR), reproduced
+        # verbatim for parity; with per-step updates the poly decay is
+        # therefore very shallow, exactly as in the reference
         sched = schedulers.poly_lr(
             cfg.num_epochs * cfg.data.training_size,
             cfg.scheduler.get("power", 0.9),

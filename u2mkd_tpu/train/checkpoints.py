@@ -42,12 +42,27 @@ class CheckpointManager:
                 self.best = json.load(f)["best"]
 
     def _save(self, name: str, state):
+        """Crash-safe save: write to <name>.tmp, then swap via renames.
+
+        Deleting the live checkpoint before the replacement exists would
+        leave a preempted run with NO resumable state; with the rename
+        dance every interruption point leaves either the old or the new
+        checkpoint intact on disk (stale .tmp/.old dirs are reclaimed on
+        the next save)."""
+        import shutil
+
         path = _path(self.run_dir, name)
-        if os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
-        self._ckpt.save(path, jax.device_get(state))
+        tmp, old = path + ".tmp", path + ".old"
+        for p in (tmp, old):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        self._ckpt.save(tmp, jax.device_get(state))
         self._ckpt.wait_until_finished()
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def save_latest(self, state, epoch: int):
         self._save("latest", state)
@@ -77,29 +92,63 @@ class CheckpointManager:
             return json.load(f)["epoch"]
 
 
+def _merge_matching(dst, src, skip_classifier, stats):
+    """Copy src leaves into dst where key paths and shapes match; count
+    matched/unmatched leaves into ``stats`` so a totally-mismatched
+    checkpoint cannot be silently ignored."""
+    out = {}
+    for k, v in dst.items():
+        if skip_classifier and "classifier" in k:
+            out[k] = v
+            stats["skipped"] += sum(
+                1 for _ in jax.tree_util.tree_leaves(v))
+        elif k in src and isinstance(v, dict):
+            out[k] = _merge_matching(v, src[k], skip_classifier, stats)
+        elif k in src and np.shape(src[k]) == np.shape(v):
+            out[k] = jax.numpy.asarray(src[k])
+            stats["matched"] += 1
+        else:
+            out[k] = v
+            stats["unmatched"] += sum(
+                1 for _ in jax.tree_util.tree_leaves(v))
+    return out
+
+
 def load_pretrain_params(path: str, target_params, skip_classifier: bool = True):
     """Backbone pretrain restore: load matching params, skip classifier keys
     (reference ``nusc_trainers.py:180-188``, strict=False minus
-    ``classifier``)."""
+    ``classifier``). Raises when NOTHING matches (a wrong checkpoint would
+    otherwise silently train from random init) and reports partial
+    mismatches."""
     ckpt = ocp.StandardCheckpointer()
     loaded = ckpt.restore(os.path.abspath(path))
     params = loaded["params"] if "params" in loaded else loaded
+    stats = {"matched": 0, "unmatched": 0, "skipped": 0}
+    out = _merge_matching(target_params, params, skip_classifier, stats)
+    if stats["matched"] == 0:
+        raise ValueError(
+            f"pretrain restore from {path} matched ZERO parameters "
+            f"(target has {stats['unmatched']} unmatched leaves) — wrong "
+            f"checkpoint or incompatible architecture/cr")
+    if stats["unmatched"]:
+        print(f"pretrain restore: {stats['matched']} leaves loaded, "
+              f"{stats['unmatched']} left at init, "
+              f"{stats['skipped']} classifier leaves skipped")
+    return out
 
-    def merge(dst, src, prefix=""):
-        out = {}
-        for k, v in dst.items():
-            name = f"{prefix}{k}"
-            if skip_classifier and "classifier" in k:
-                out[k] = v
-            elif k in src and isinstance(v, dict):
-                out[k] = merge(v, src[k], name + "/")
-            elif k in src and np.shape(src[k]) == np.shape(v):
-                out[k] = jax.numpy.asarray(src[k])
-            else:
-                out[k] = v
-        return out
 
-    return merge(target_params, params)
+def load_pretrain_batch_stats(path: str, target_stats):
+    """Companion to :func:`load_pretrain_params`: restore the pretrained
+    backbone's BN running statistics (the reference's ``strict=False``
+    ``load_state_dict`` restores buffers too, ``nusc_trainers.py:180-188``);
+    leaving them at init (mean 0 / var 1) would corrupt every eval-mode
+    forward early in stage 2."""
+    ckpt = ocp.StandardCheckpointer()
+    loaded = ckpt.restore(os.path.abspath(path))
+    if "batch_stats" not in loaded:
+        return target_stats
+    stats = {"matched": 0, "unmatched": 0, "skipped": 0}
+    return _merge_matching(target_stats, loaded["batch_stats"], False, stats)
 
 
 def load_teacher_params(teacher_ckpt_dir: str, tsd_params):

@@ -15,15 +15,23 @@ import jax.numpy as jnp
 from u2mkd_tpu.ops import losses
 
 
+def _valid_of(ignore):
+    """Ignore-mask composition shared by every criterion factory: labels at
+    ``ignore`` are dropped, AND-ed with any caller mask."""
+
+    def valid_of(labels, valid):
+        v = labels != ignore
+        return v if valid is None else (v & valid)
+
+    return valid_of
+
+
 def make_criterion(cfg) -> Callable:
     """name in {cross_entropy, lovasz}: (logits [N,C], labels [N], valid [N])
     -> scalar."""
     name = cfg.criterion.name
     ignore = cfg.criterion.get("ignore_index", 0)
-
-    def valid_of(labels, valid):
-        v = labels != ignore
-        return v if valid is None else (v & valid)
+    valid_of = _valid_of(ignore)
 
     if name == "cross_entropy":
         def crit(logits, labels, valid=None):
@@ -41,18 +49,13 @@ def make_criterion_dict(cfg) -> Dict[str, Callable]:
     (reference ``make_criterion_dict``, dict keys per ``nusc_trainers``
     usage)."""
     ignore = cfg.criterion.get("ignore_index", 0)
+    valid_of = _valid_of(ignore)
 
     def lovasz(logits, labels, valid=None):
-        v = labels != ignore
-        if valid is not None:
-            v = v & valid
-        return losses.lovasz_ce(logits, labels, v)
+        return losses.lovasz_ce(logits, labels, valid_of(labels, valid))
 
     def ce(logits, labels, valid=None):
-        v = labels != ignore
-        if valid is not None:
-            v = v & valid
-        return losses.cross_entropy(logits, labels, v)
+        return losses.cross_entropy(logits, labels, valid_of(labels, valid))
 
     def kl(student_logits, teacher_logits, valid=None):
         v = jnp.ones(student_logits.shape[:-1], bool) if valid is None else valid

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from u2mkd_tpu.models import plumbing as P
 from u2mkd_tpu.ops import losses
 from u2mkd_tpu.train import metrics
 from u2mkd_tpu.train.state import TrainState
@@ -33,9 +32,14 @@ def make_frozen_teacher_optimizer(tx: optax.GradientTransformation):
     reference ``requires_grad_(False)``)."""
 
     def label_fn(params):
+        def key_of(path0):
+            # flax param trees key with DictKey; exact match only (a
+            # substring test would also freeze e.g. 'model_t_adapter')
+            return getattr(path0, "key", str(path0))
+
         return jax.tree_util.tree_map_with_path(
-            lambda path, _: "freeze" if str(path[0]) in ("model_t", "['model_t']")
-            or "model_t" in str(path[0]) else "train",
+            lambda path, _: "freeze" if key_of(path[0]) == "model_t"
+            else "train",
             params,
         )
 
@@ -46,16 +50,35 @@ def make_frozen_teacher_optimizer(tx: optax.GradientTransformation):
 
 def create_distill_state(model, tx, student_batch, teacher_batch,
                          s_caps, t_caps, rng) -> TrainState:
+    from u2mkd_tpu.train.state import get_plumbing
+
     @jax.jit
     def init_fn(sb, tb, rng):
-        spl = P.build_plumbing(sb["pcoords"], sb["xyz"], sb["pmask"], s_caps)
-        tpl = P.build_plumbing(tb["pcoords"], tb["xyz"], tb["pmask"], t_caps)
+        # honor host-precomputed plumbing like the train/eval steps do
+        # (create_train_state pattern) — the in-jit build is ~70% of the
+        # step's device work and a large compile footprint, pointless at
+        # init when the loader already shipped the arrays
+        spl = get_plumbing(sb, s_caps)
+        tpl = get_plumbing(tb, t_caps)
         return model.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             sb, spl, tb, tpl, True,
         )
 
-    variables = init_fn(student_batch, teacher_batch, rng)
+    def drop_sharded_wgeom(b):
+        # init runs unsharded; dp-sharded geometry would trip the
+        # shard-count assertion and the attn params don't depend on it
+        if "plumbing" in b and "wgeom" in b["plumbing"]:
+            wg = b["plumbing"]["wgeom"]
+            if next(iter(wg.values()))[0]["order"].shape[0] != 1:
+                b = dict(b)
+                b["plumbing"] = {
+                    k: v for k, v in b["plumbing"].items() if k != "wgeom"
+                }
+        return b
+
+    variables = init_fn(drop_sharded_wgeom(student_batch),
+                        drop_sharded_wgeom(teacher_batch), rng)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32), params=params,

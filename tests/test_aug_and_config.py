@@ -89,7 +89,7 @@ def test_inst_augmentation(tmp_path, rng):
     aug = InstAugmentation(
         instance_pkl_path=pkl, thing_list=[1, 2], ground_list=[3],
         pair_list=[[3], [3]], add_num=4, num_classes=5,
-        class_name=["car", "pedestrian"], feat_dim_src=4,
+        class_name=["car", "pedestrian"], feat_dim_s=4,
         rng=np.random.RandomState(2),
     )
     out_xyz, out_labels, out_feats = aug.inst_aug(xyz, labels, feats)

@@ -121,7 +121,7 @@ def test_inst_aug_end_to_end_matches_exec_reference(rng, tmp_path):
     np.random.seed(0)
     ref_xyz, ref_labels = ref.inst_aug(xyz.copy(), labels.copy())
 
-    aug = ours.InstAugmentation(pkl, feat_dim_src=5,
+    aug = ours.InstAugmentation(pkl, feat_dim_s=5,
                                 rng=np.random.RandomState(0), **common)
     got_xyz, got_labels = aug.inst_aug(xyz.copy(), labels.copy())
 

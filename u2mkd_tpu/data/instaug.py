@@ -76,7 +76,7 @@ class InstAugmentation:
         class_weight: Optional[Sequence[float]] = None,
         class_min_num: Optional[Sequence[int]] = None,
         feat_dim: int = 4,
-        feat_dim_src: int = 5,
+        feat_dim_s: int = 5,
         random_trans: bool = True,
         random_flip: bool = False,
         random_rotate: bool = False,
@@ -87,7 +87,8 @@ class InstAugmentation:
         self.ground_list = list(ground_list)
         self.pair_list = [list(p) for p in pair_list]
         self.add_num = add_num
-        self.feat_dim_src = feat_dim_src
+        # reference V2 names this parameter feat_dim_s (utils.py:227)
+        self.feat_dim_src = feat_dim_s
         self.max_added_points = max_added_points
         self.random_trans = random_trans
         self.random_flip = random_flip
@@ -171,6 +172,15 @@ class InstAugmentation:
                         if self.random_trans:
                             g_center[:2] += (2 * rng.random(2) - 1) * self.grid_size / 10
                             g_center[2] += rng.random() * 0.05
+                        if self.random_flip:
+                            # reference V2 4-way axis flip (utils.py:353-360)
+                            ft = rng.choice(4)
+                            if ft == 1:
+                                add_xyz[:, 0] = -add_xyz[:, 0]
+                            elif ft == 2:
+                                add_xyz[:, 1] = -add_xyz[:, 1]
+                            elif ft == 3:
+                                add_xyz[:, :2] = -add_xyz[:, :2]
                         if self.random_rotate:
                             ang = rng.uniform(-np.pi / 36, np.pi / 36)
                             c, s = np.cos(ang), np.sin(ang)

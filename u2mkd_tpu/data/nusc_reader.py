@@ -51,6 +51,30 @@ class NuScenesTables:
             r["sample_data_token"]: r for r in self._tables.get("lidarseg", [])
         }
         self.sample = self._tables["sample"]
+        self._make_reverse_index()
+
+    def _make_reverse_index(self):
+        """Devkit parity: real nuScenes ``sample.json`` rows have NO
+        ``data`` channel map — the devkit synthesizes it in
+        ``__make_reverse_index__`` from the keyframe sample_data rows.
+        The datasets read ``sample["data"]["LIDAR_TOP"]``/``CAM_*``, so
+        build the same map here (fixture tables that already carry
+        ``data`` are left untouched)."""
+        for s in self.sample:
+            s.setdefault("data", {})
+        for sd in self._tables.get("sample_data", []):
+            if not sd.get("is_key_frame"):
+                continue
+            cs = self._index["calibrated_sensor"].get(
+                sd.get("calibrated_sensor_token"))
+            if cs is None:
+                continue
+            sensor = self._index.get("sensor", {}).get(cs.get("sensor_token"))
+            if sensor is None:
+                continue
+            samp = self._index["sample"].get(sd.get("sample_token"))
+            if samp is not None:
+                samp["data"].setdefault(sensor["channel"], sd["token"])
 
     def get(self, table: str, token: str) -> dict:
         if table == "lidarseg":
@@ -60,9 +84,12 @@ class NuScenesTables:
     def scene_name(self, sample_rec: dict) -> str:
         return self.get("scene", sample_rec["scene_token"])["name"]
 
-    def split_samples(self, split: str) -> List[dict]:
-        """Keyframe samples of the official split, in table order."""
-        if split == "test":
-            return list(self.sample)
-        want = set(nusc_splits.split_scenes(split, self.version))
-        return [s for s in self.sample if self.scene_name(s) in want]
+    def split_samples(self, split: str,
+                      allow_unofficial: bool = False) -> List[dict]:
+        """Keyframe samples of the official split, in table order (routes
+        through :func:`nusc_splits.select_samples`, the live path the
+        datasets use — the old scene-list fallback always raised)."""
+        return nusc_splits.select_samples(
+            self.sample, split, self.scene_name,
+            allow_unofficial=allow_unofficial,
+        )

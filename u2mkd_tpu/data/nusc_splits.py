@@ -36,6 +36,10 @@ def split_scenes(split: str, version: str) -> List[str]:
 
 def select_samples(samples: List[dict], split: str, scene_name_fn,
                    allow_unofficial: bool = False) -> List[dict]:
+    if split == "test":
+        # the reference evaluates the test split over ALL keyframe samples
+        # of the v1.0-test table (no index file exists for it)
+        return list(samples)
     idx = official_indices(split)
     if idx is not None and len(samples) > int(idx.max()):
         return [samples[i] for i in idx]

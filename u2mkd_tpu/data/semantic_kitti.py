@@ -139,7 +139,11 @@ class SemanticKITTI:
         tr_inv = _inv_rt(tr)
         ref_pose_inv = _inv_rt(_homo(self.poses[si][pi]))
         start = max(pi - n, 0)
-        end = min(pi + n, len(self.files[si]))
+        # reference window semantics (semantic_kitti.py:196-197): when the
+        # future window would run off the sequence end, ALL future sweeps
+        # are dropped (end = pi), not clamped to the sequence length
+        nf = len(self.files[si])
+        end = pi + n if (pi + n) < nf else pi
         pts_list, lab_list = [], []
         for i in range(start, end):
             if i == pi:

@@ -40,24 +40,36 @@ class WaymoSeg:
         inst_augmenter=None,
         seed: int = 0,
         val_fraction: float = 0.15,
+        tta: bool = False,
     ):
         self.root = root
         self.voxel_size = voxel_size
         self.capacity = capacity
         self.train = split == "train"
-        self.flip_aug = flip_aug and self.train
-        self.rotate_aug = rotate_aug and self.train
+        # tta: fresh flip/rotate-scale per val pass (multi-vote evaluation),
+        # same semantics as the nuScenes/KITTI datasets
+        self.tta = tta and not self.train
+        aug_on = self.train or self.tta
+        self.flip_aug = flip_aug and aug_on
+        self.rotate_aug = rotate_aug and aug_on
         self.translate_std = translate_std if self.train else None
         self.inst_augmenter = inst_augmenter if self.train else None
         self.rng = np.random.RandomState(seed)
         with open(os.path.join(root, "keyframes.txt")) as f:
             frames = [l for l in f.read().splitlines() if l]
-        # deterministic split by position (waymo ships its own train/val
-        # directories normally; single-dir fallback splits by hash)
+        # waymo normally ships separate train/val directories; this
+        # single-dir fallback splits by NAME HASH so a frame's membership
+        # is stable when keyframes.txt grows (a positional stride would
+        # silently move previously-trained frames into val)
         if split in ("train", "val"):
-            n_val = max(1, int(len(frames) * val_fraction))
-            val = set(frames[::max(1, len(frames) // n_val)][:n_val])
-            frames = [f for f in frames if (f in val) == (split == "val")]
+            import hashlib
+
+            def bucket(name):
+                return int(hashlib.md5(name.encode()).hexdigest(), 16) % 100
+
+            thr = int(round(val_fraction * 100))
+            frames = [f for f in frames
+                      if (bucket(f) < thr) == (split == "val")]
         self.frames = frames
 
     def __len__(self):

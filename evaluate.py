@@ -4,6 +4,12 @@ Equivalent of the reference's ``NuScenes_Evaluator`` path
 (``core/nusc_trainers.py:441-550``): load a checkpoint, run the val split,
 devoxelize predictions to raw points, print the per-class IoU table.
 
+Handles both stages: a teacher config evaluates the uni-modal model; a
+``spvcnn_swiftnet18_spformer_tsd_full`` config evaluates the cross-modal
+student exactly like the reference evaluator (which feeds images +
+projections and scores the devoxelized ``x_vox`` head,
+``nusc_trainers.py:493-550``; only the student runs at inference).
+
 Usage:
   python evaluate.py configs/synthetic/train/spformer_tiny.yaml \
       --checkpoint runs/teacher/checkpoints/max-iou-val-vox \
@@ -38,6 +44,9 @@ def main():
     setup_compilation_cache()
     cfg = config_lib.load(args.config)
     config_lib.update_dotted(cfg, args.opts)
+
+    if cfg.model.name == "spvcnn_swiftnet18_spformer_tsd_full":
+        return _student_eval(args, cfg)
 
     model = builder.make_model(cfg)
     tx = builder.make_optimizer_and_schedule(cfg)
@@ -79,6 +88,75 @@ def main():
     res = evaluator.evaluate_tta(
         ev, st, val_loader, cfg.data.num_classes, cfg.data.ignore_label,
         num_vote=args.num_vote,
+    )
+    print(loop.format_iou_table(res["per_class"], res["miou"]))
+    print(f"mIoU: {res['miou'] * 100:.2f}")
+
+
+def tsd_student_view(batch):
+    """Flat scoring view of a nested TSD batch for ``evaluate_tta``: the
+    student feed's mask/labels plus the per-sample student infos (reference
+    scores the student's devoxelized vox head, ``nusc_trainers.py:517-536``)."""
+    stu = batch["student"]
+    infos = batch.get("infos")
+    return {
+        "pmask": stu["pmask"],
+        "labels": stu["labels"],
+        "keyframe_mask": stu.get("keyframe_mask"),
+        "infos": [i["student"] for i in infos] if infos else None,
+    }
+
+
+def _student_eval(args, cfg):
+    """Stage-2 student evaluation (reference ``NuScenes_Evaluator``): load
+    the full TSD checkpoint, run only the student forward, devoxelize the
+    vox head to raw points, optional vote-summed TTA."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from u2mkd_tpu.train import builder, distill, evaluator, loop
+    from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
+
+    setup_compilation_cache()
+    model = builder.make_model(cfg)
+    base_tx = builder.make_optimizer_and_schedule(cfg)
+    tx = distill.make_frozen_teacher_optimizer(base_tx)
+    s_caps = tuple(cfg.get_path("student_capacities") or cfg.capacities)
+    t_caps = tuple(cfg.get_path("teacher_capacities") or cfg.capacities)
+
+    if cfg.dataset.name == "synthetic":
+        _, val_loader = builder.make_synthetic_distill_loaders(cfg)
+    else:
+        from u2mkd_tpu.data import loaders
+
+        # n_shards=1: plain jit eval step (see teacher branch note above)
+        _, val_loader = loaders.make_distill_loaders(
+            cfg, tta_val=args.num_vote > 1, n_shards=1
+        )
+
+    _it = iter(val_loader())
+    sample = next(_it)
+    if hasattr(_it, "close"):
+        _it.close()
+    st = distill.create_distill_state(
+        model, tx, sample["student"], sample["teacher"], s_caps, t_caps,
+        jax.random.PRNGKey(0),
+    )
+    st = ocp.StandardCheckpointer().restore(
+        args.checkpoint, target=jax.device_get(st)
+    )
+    print(f"loaded {args.checkpoint}")
+
+    ev = jax.jit(
+        distill.make_distill_eval_step(
+            model, s_caps, t_caps, cfg.data.num_classes,
+            cfg.criterion.ignore_index,
+        )
+    )
+    res = evaluator.evaluate_tta(
+        ev, st, val_loader, cfg.data.num_classes, cfg.criterion.ignore_index,
+        num_vote=args.num_vote, logits_key="logits",
+        sample_view=tsd_student_view,
     )
     print(loop.format_iou_table(res["per_class"], res["miou"]))
     print(f"mIoU: {res['miou'] * 100:.2f}")

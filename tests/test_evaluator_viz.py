@@ -125,6 +125,49 @@ def test_tta_three_votes_sum(rng):
     assert res["miou"] == 1.0
 
 
+def test_evaluate_tta_student_view(rng):
+    """Nested TSD batches score through ``tsd_student_view``: pmask/labels
+    come from the student feed and devoxelization uses the per-sample
+    STUDENT info (reference evaluator scores the student's devoxelized vox
+    head, nusc_trainers.py:517-536)."""
+    from evaluate import tsd_student_view
+
+    ncls = 3
+    # 3 model rows, raw cloud of 5 points; inverse_map spreads rows
+    inverse = np.array([0, 1, 2, 1, 0])
+    labels_full = np.array([1, 2, 1, 2, 1])
+    batch = {
+        "student": {
+            "pmask": np.ones((1, 3), bool),
+            "labels": np.array([[1, 2, 1]]),
+            "keyframe_mask": np.ones((1, 3), bool),
+        },
+        "teacher": {"pmask": np.zeros((1, 3), bool)},
+        "infos": [{
+            "student": {"inverse_map": inverse, "labels_full": labels_full,
+                        "keyframe_mask_full": np.ones(5, bool)},
+            "teacher": None,
+        }],
+    }
+
+    def loader():
+        yield batch
+
+    def eval_step(state, b):
+        # device batch must still be the nested layout (step reads student/t)
+        assert "student" in b and "teacher" in b
+        logits = np.zeros((1, 3, ncls), np.float32)
+        logits[0, 0, 1] = 1.0   # row 0 -> class 1
+        logits[0, 1, 2] = 1.0   # row 1 -> class 2
+        logits[0, 2, 1] = 1.0   # row 2 -> class 1
+        return {"logits": jnp.asarray(logits)}
+
+    res = E.evaluate_tta(eval_step, None, loader, ncls, ignore_label=0,
+                         num_vote=1, sample_view=tsd_student_view)
+    # devoxelized raw predictions [1,2,1,2,1] == labels_full -> perfect IoU
+    assert res["miou"] == 1.0
+
+
 def test_bev_and_overlay_render(tmp_path, rng):
     xyz = (rng.rand(500, 3) * 60 - 30).astype(np.float32)
     labels = rng.randint(0, 17, 500)

@@ -102,6 +102,45 @@ def test_lc_dataset_end_to_end(tmp_path, rng):
     assert batch["t2s"].shape == (2, 512)
 
 
+def test_lc_tta_votes_differ(tmp_path, rng):
+    """TTA on the LC val dataset: fresh rotate-scale per pass on the student
+    cloud (and fresh flip/rotate on the teacher cloud) with fixed raw labels,
+    so `evaluate.py --num-vote` on a student config sums genuinely different
+    views (reference NuScenes_Evaluator, nusc_trainers.py:441-550)."""
+    root = make_fake_nusc(tmp_path)
+    add_cameras(root)
+
+    kw = dict(voxel_size=0.1, student_capacity=512, teacher_capacity=1024,
+              version="v1.0-test", num_sweeps=0, im_drop=0, im_cr=0.1,
+              allow_unofficial_split=True)
+    donor = LCSemanticNuscTSD(root, split="train", **kw)
+    assert len(donor) > 0
+
+    def build(tta):
+        ds = LCSemanticNuscTSD(root, split="val", tta=tta, **kw)
+        ds.samples = donor.samples
+        return ds
+
+    plain = build(False)
+    a, b = plain[0], plain[0]
+    np.testing.assert_array_equal(a["student"]["xyz"], b["student"]["xyz"])
+
+    ds = build(True)
+    v1, v2 = ds[0], ds[0]
+    i1 = v1["student"]["info"]
+    i2 = v2["student"]["info"]
+    # raw cloud + labels fixed; geometry freshly augmented per vote
+    np.testing.assert_array_equal(i1["labels_full"], i2["labels_full"])
+    assert not np.allclose(v1["student"]["xyz"][v1["student"]["pmask"]],
+                           v2["student"]["xyz"][v2["student"]["pmask"]])
+    # inverse maps still target the full raw cloud (devox-to-raw valid)
+    assert len(i1["inverse_map"]) == len(i1["labels_full"])
+    # camera projections are computed from the un-augmented cloud: identical
+    # across votes (rotation never reorders points)
+    np.testing.assert_array_equal(v1["student"]["images"],
+                                  v2["student"]["images"])
+
+
 def test_t2s_label_consistency(tmp_path, rng):
     """Student point labels must equal teacher labels at t2s rows whenever
     both representatives are the same raw point (teacher dedup may pick a

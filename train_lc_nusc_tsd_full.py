@@ -65,7 +65,7 @@ def main():
     t_caps = tuple(cfg.get_path("teacher_capacities") or cfg.capacities)
 
     if cfg.dataset.name == "synthetic":
-        train_loader, val_loader = make_synthetic_distill_loaders(cfg)
+        train_loader, val_loader = builder.make_synthetic_distill_loaders(cfg)
     else:
         from u2mkd_tpu.data import loaders
 
@@ -179,35 +179,6 @@ def main():
         strict_capacity=bool(cfg.get_path("train.strict_capacity", False)),
     )
     trainer.train()
-
-
-def make_synthetic_distill_loaders(cfg):
-    import numpy as np
-    import jax
-
-    from u2mkd_tpu.data import synthetic
-
-    b = cfg.batch_size
-    p = cfg.dataset.num_points
-    tp = cfg.dataset.teacher_points
-    n_train = cfg.data.training_size // b
-    n_val = max(2, n_train // 4)
-    seed = cfg.train.seed % (2**31)
-
-    def gen(seed_off, n):
-        def it():
-            rng = np.random.RandomState(seed + seed_off)
-            for _ in range(n):
-                raw = synthetic.make_multimodal_batch(
-                    rng, b, p, tp, cfg.dataset.voxel_size,
-                    num_cams=cfg.dataset.num_cams,
-                    im_hw=tuple(cfg.dataset.image_size),
-                )
-                yield jax.tree_util.tree_map(jax.numpy.asarray, raw)
-
-        return it
-
-    return gen(0, n_train), gen(1, n_val)
 
 
 if __name__ == "__main__":

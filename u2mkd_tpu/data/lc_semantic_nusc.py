@@ -47,6 +47,7 @@ class LCSemanticNuscTSD(SemanticNusc):
         inst_augmenter=None,
         seed: int = 0,
         allow_unofficial_split: bool = False,
+        tta: bool = False,
     ):
         super().__init__(
             root, voxel_size, teacher_capacity, version, split,
@@ -54,6 +55,7 @@ class LCSemanticNuscTSD(SemanticNusc):
             flip_aug=True, rotate_aug=True, translate_std=None,
             inst_augmenter=inst_augmenter, seed=seed,
             allow_unofficial_split=allow_unofficial_split,
+            tta=tta,
         )
         self.student_capacity = student_capacity
         self.teacher_capacity = teacher_capacity
@@ -114,7 +116,7 @@ class LCSemanticNuscTSD(SemanticNusc):
                 t_labels = np.concatenate([t_labels, np.zeros(len(sw), np.int32)])
                 t_kf = np.concatenate([t_kf, np.zeros(len(sw), bool)])
         t_xyz = t_pts[:, :3]
-        if self.train:
+        if self.train or self.tta:
             t_xyz, _, _ = transforms.random_rotate_scale(t_xyz, self.rng, True)
             t_xyz = transforms.random_flip(t_xyz, self.rng)
         t_feed, t_info = transforms.build_feed(
@@ -153,8 +155,14 @@ class LCSemanticNuscTSD(SemanticNusc):
         fov_full = cam_masks.any(0)
 
         # ---- student feed: rotate+scale only (projection indices survive) ----
+        # tta: fresh rotate+scale per val pass so multi-vote evaluation sums
+        # logits over genuinely different views (reference NuScenes_Evaluator,
+        # nusc_trainers.py:441-550); rotation keeps the per-point camera
+        # projections valid because it never reorders points
         s_xyz = pts[:, :3]
-        s_xyz, _, _ = transforms.random_rotate_scale(s_xyz, self.rng, self.train)
+        s_xyz, _, _ = transforms.random_rotate_scale(
+            s_xyz, self.rng, self.train or self.tta
+        )
         s_feed, s_info = transforms.build_feed(
             s_xyz, pts[:, 3], labels, np.ones(len(pts), bool),
             self.voxel_size, self.student_capacity,

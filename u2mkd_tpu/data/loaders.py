@@ -208,8 +208,13 @@ def make_loaders(cfg, seed: int = 0, tta_val: bool = False,
     return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)
 
 
-def make_distill_loaders(cfg, seed: int = 0):
-    """Paired student/teacher loaders (lc_semantic_nusc_tsd_full)."""
+def make_distill_loaders(cfg, seed: int = 0, tta_val: bool = False,
+                         n_shards: int = None):
+    """Paired student/teacher loaders (lc_semantic_nusc_tsd_full).
+
+    ``tta_val`` / ``n_shards`` follow ``make_loaders`` semantics: per-pass
+    val augmentation for multi-vote TTA, and a shard-count override for
+    consumers running an un-shard_map'd eval step (``evaluate.py``)."""
     import jax
 
     from u2mkd_tpu.data.lc_semantic_nusc import LCSemanticNuscTSD, collate_tsd
@@ -229,6 +234,7 @@ def make_distill_loaders(cfg, seed: int = 0):
             if split == "train" else None,
             seed=seed,
             allow_unofficial_split=d.get("allow_unofficial_split", False),
+            tta=tta_val and split == "val",
         )
 
     train_ds, val_ds = build("train"), build("val")
@@ -238,7 +244,8 @@ def make_distill_loaders(cfg, seed: int = 0):
     use_host = cfg.get_path("host_plumbing", True)
 
     wparams = _wgeom_params(cfg) if use_host else None
-    n_shards = dp_shard_count(cfg)
+    if n_shards is None:
+        n_shards = dp_shard_count(cfg)
     multihost = bool(cfg.get_path("train.multihost", False))
 
     def add_plumbing(batch):

@@ -165,3 +165,35 @@ def make_synthetic_loaders(cfg: Config, seed: int = 0,
         return _loader(seed + 1, n_val)
 
     return train_loader, val_loader
+
+
+def make_synthetic_distill_loaders(cfg: Config):
+    """Synthetic paired student/teacher loader callables for the TSD
+    stage (used by ``train_lc_nusc_tsd_full.py`` and ``evaluate.py`` when
+    ``dataset.name == synthetic``). Plumbing/window geometry is built
+    in-jit by the distill steps' ``get_plumbing`` fallback."""
+    import jax
+
+    from u2mkd_tpu.data import synthetic
+
+    b = cfg.batch_size
+    p = cfg.dataset.num_points
+    tp = cfg.dataset.teacher_points
+    n_train = cfg.data.training_size // b
+    n_val = max(2, n_train // 4)
+    seed = cfg.train.seed % (2**31)
+
+    def gen(seed_off, n):
+        def it():
+            rng = np.random.RandomState(seed + seed_off)
+            for _ in range(n):
+                raw = synthetic.make_multimodal_batch(
+                    rng, b, p, tp, cfg.dataset.voxel_size,
+                    num_cams=cfg.dataset.num_cams,
+                    im_hw=tuple(cfg.dataset.image_size),
+                )
+                yield jax.tree_util.tree_map(jax.numpy.asarray, raw)
+
+        return it
+
+    return gen(0, n_train), gen(1, n_val)

@@ -42,6 +42,7 @@ def evaluate_tta(
     ignore_label: int = 0,
     num_vote: int = 1,
     logits_key: str = "logits",
+    sample_view: Optional[Callable[[Dict], Dict]] = None,
 ) -> Dict:
     """Accumulate IoU over the val set with optional vote-summed logits.
 
@@ -49,6 +50,13 @@ def evaluate_tta(
     sample order (vote > 1 implies the loader applies fresh random TTA
     augmentation per round; reference sums logits over votes,
     ``nusc_trainers.py:517-536``).
+
+    ``sample_view`` maps a loader batch to the flat scoring view
+    ``{pmask, labels, keyframe_mask, infos}`` for batch layouts that nest
+    those keys — the TSD student batches nest them under ``"student"``
+    (the reference's evaluator likewise scores the student's
+    ``outputs_vox`` only, ``nusc_trainers.py:517-536``). The full batch is
+    still what ``eval_step`` receives.
     """
     counts = M.zeros_counts(num_classes)
     counts = {k: np.asarray(v) for k, v in counts.items()}
@@ -59,19 +67,20 @@ def evaluate_tta(
         for batch in loader():
             out = eval_step(state, device_batch(batch))
             logits = np.asarray(jax.device_get(out[logits_key]))
-            infos = batch.get("infos")
+            view = sample_view(batch) if sample_view is not None else batch
+            infos = view.get("infos")
             b = logits.shape[0]
             for i in range(b):
                 info = infos[i] if infos else None
-                pmask = np.asarray(batch["pmask"][i])
+                pmask = np.asarray(view["pmask"][i])
                 if info is not None:
                     raw_logits = devoxelize_predictions(logits[i], pmask, info)
                     labels = info["labels_full"]
                     kf = info.get("keyframe_mask_full")
                 else:
                     raw_logits = logits[i][pmask]
-                    labels = np.asarray(batch["labels"][i])[pmask]
-                    kf = np.asarray(batch["keyframe_mask"][i])[pmask]
+                    labels = np.asarray(view["labels"][i])[pmask]
+                    kf = np.asarray(view["keyframe_mask"][i])[pmask]
                 if num_vote > 1:
                     vote_sums[si] = vote_sums.get(si, 0) + raw_logits
                     sample_meta[si] = {"labels": labels, "kf": kf}

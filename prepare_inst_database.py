@@ -27,7 +27,10 @@ from collections import defaultdict
 
 import numpy as np
 
-MIN_INST_POINT = 10
+# per-dataset minimum instance size, matching the reference builders
+# (prepare_nusc_inst_database.py:53 = 10, prepare_semkitti_:25 = 40,
+# prepare_waymo_:54 = 50)
+MIN_INST_POINT = {"nusc": 10, "kitti": 40, "waymo": 50}
 
 NUSC_THING_LIST = list(range(1, 11))
 NUSC_CLASS_NAMES = [
@@ -39,16 +42,18 @@ KITTI_CLASS_NAMES = [
     "car", "bicycle", "motorcycle", "truck", "other-vehicle", "person",
     "bicyclist", "motorcyclist",
 ]
-# Waymo 23-class set: things are vehicle/pedestrian/cyclist-like classes
-WAYMO_THING_LIST = [1, 2, 3, 4, 5, 6, 7, 8]
+# Waymo 22-class set: things 1-13 (reference
+# prepare_waymo_inst_database.py:53 + visualize_utils.py:138-162)
+WAYMO_THING_LIST = list(range(1, 14))
 WAYMO_CLASS_NAMES = [
     "car", "truck", "bus", "other_vehicle", "motorcyclist", "bicyclist",
-    "pedestrian", "sign",
+    "pedestrian", "sign", "traffic_light", "pole", "construction_cone",
+    "bicycle", "motorcycle",
 ]
 
 
 def extract_instances(points, sem_label, pano_label, thing_list, class_names,
-                      token, out_dir, db):
+                      token, out_dir, db, min_points=10):
     """Cut every panoptic instance of a thing class into its own .bin."""
     for ti, thing_id in enumerate(thing_list):
         name = class_names[ti]
@@ -59,7 +64,7 @@ def extract_instances(points, sem_label, pano_label, thing_list, class_names,
             if inst_id == 0:
                 continue
             idx = np.where(pano_label == inst_id)[0]
-            if len(idx) < MIN_INST_POINT:
+            if len(idx) < min_points:
                 continue
             d = os.path.join(out_dir, name)
             os.makedirs(d, exist_ok=True)
@@ -98,7 +103,8 @@ def run_nusc(args):
             continue
         pano = np.load(pano_path)["data"]
         extract_instances(pts, sem, pano, NUSC_THING_LIST, NUSC_CLASS_NAMES,
-                          sd_token, args.out, db)
+                          sd_token, args.out, db,
+                          min_points=MIN_INST_POINT["nusc"])
         if i % 500 == 0:
             print(f"{i}/{len(samples)}")
     return db
@@ -128,7 +134,8 @@ def run_kitti(args):
             pano = anno >> 16
             extract_instances(pts, sem, pano, KITTI_THING_LIST,
                               KITTI_CLASS_NAMES, f"{seq}_{name[:-4]}",
-                              args.out, db)
+                              args.out, db,
+                              min_points=MIN_INST_POINT["kitti"])
     return db
 
 
@@ -145,7 +152,8 @@ def run_waymo(args):
         pts, sem, pano = arr[:, :4], arr[:, 4].astype(np.int32), arr[:, 5].astype(np.int64)
         token = os.path.splitext(os.path.basename(fr))[0]
         extract_instances(pts, sem, pano, WAYMO_THING_LIST, WAYMO_CLASS_NAMES,
-                          token, args.out, db)
+                          token, args.out, db,
+                          min_points=MIN_INST_POINT["waymo"])
     return db
 
 

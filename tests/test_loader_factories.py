@@ -120,6 +120,72 @@ def test_select_samples_test_split():
     assert out == samples
 
 
+def test_waymo_make_loaders(tmp_path):
+    """`dataset.name=semantic_waymo` is a live make_loaders branch: builds
+    WaymoSeg from a keyframes.txt fixture and yields padded batches with
+    infos (the reference's waymo variants were commented out of its builder,
+    core/builder.py:140-157 — here the reader is wired end to end)."""
+    from u2mkd_tpu.data import loaders
+
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(8):
+        name = f"frame_{i:04d}.npy"
+        pts = np.concatenate(
+            [rng.rand(200, 3).astype(np.float32) * 20,
+             rng.rand(200, 1).astype(np.float32),
+             rng.randint(0, 23, (200, 1)).astype(np.float32),
+             np.zeros((200, 1), np.float32)], axis=1)
+        np.save(tmp_path / name, pts)
+        names.append(name)
+    with open(tmp_path / "keyframes.txt", "w") as f:
+        f.write("\n".join(names) + "\n")
+
+    cfg = _cfg({
+        "dataset": {"name": "semantic_waymo", "root": str(tmp_path),
+                    "voxel_size": 0.2, "flip_aug": True, "rotate_aug": True,
+                    "val_fraction": 0.25},
+        "data": {"num_classes": 23},
+        "model": {"name": "spvcnn", "pallas_attention": False},
+        "capacities": [256, 128, 64, 32, 16],
+        "batch_size": 2,
+        "host_plumbing": False,
+        "workers": 0,
+        "train": {},
+    })
+    train_loader, val_loader = loaders.make_loaders(cfg, n_shards=1)
+    batch = next(iter(train_loader()))
+    assert batch["feats"].shape == (2, 256, 4)
+    assert batch["labels"].shape == (2, 256)
+    assert batch["infos"][0] is not None
+    # inst_aug has no reference Waymo parameterization: explicit error
+    cfg.dataset["inst_aug"] = True
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        loaders.make_loaders(cfg, n_shards=1)
+
+
+def test_new_config_trees_load():
+    """The semantickitti/waymo config trees inherit recursively and carry
+    the keys the CLIs read."""
+    from u2mkd_tpu.utils import config as config_lib
+
+    for path, name, ncls in (
+        ("configs/semantickitti/train/spformer.yaml", "semantic_kitti", 20),
+        ("configs/waymo/train/spformer.yaml", "semantic_waymo", 23),
+    ):
+        cfg = config_lib.load(path)
+        assert cfg.dataset.name == name
+        assert cfg.data.num_classes == ncls
+        assert cfg.model.name == "spvcnn_spformer"
+        assert cfg.optimizer.name == "sgd_spformer"
+        assert len(cfg.capacities) == 5
+        # global defaults still inherited from configs/default.yaml
+        assert cfg.scheduler.name == "cosine_warmup"
+        assert cfg.train.seed is not None
+
+
 def test_waymo_hash_split_stable(tmp_path):
     """Frame membership must not change when keyframes.txt grows."""
     from u2mkd_tpu.data.waymo import WaymoSeg

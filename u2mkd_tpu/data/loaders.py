@@ -167,6 +167,28 @@ def make_loaders(cfg, seed: int = 0, tta_val: bool = False,
                 tta=tta_val and split == "val",
             )
         collate_fn = collate
+    elif name == "semantic_waymo":
+        from u2mkd_tpu.data.waymo import WaymoSeg
+        from u2mkd_tpu.data.semantic_nusc import collate
+
+        if d.get("inst_aug"):
+            # the reference never shipped Waymo InstAugmentation parameters
+            # (its waymo dataset variants are commented out, builder.py:140-157)
+            raise NotImplementedError(
+                "dataset.inst_aug has no reference parameterization for "
+                "Waymo; build a DB with prepare_inst_database.py waymo and "
+                "wire class weights explicitly before enabling it"
+            )
+
+        def build(split):
+            return WaymoSeg(
+                d.root, d.voxel_size, cap, split, flip_aug=d.flip_aug,
+                rotate_aug=d.rotate_aug, translate_std=d.get("translate_std"),
+                seed=seed,
+                val_fraction=d.get("val_fraction", 0.15),
+                tta=tta_val and split == "val",
+            )
+        collate_fn = collate
     else:
         raise NotImplementedError(name)
 

@@ -192,6 +192,19 @@ def step_mfu(jitted, args, step_seconds, platform, extra_flops=0.0):
         return None, kind
 
 
+def _row_metric() -> str:
+    """The metric name the current invocation will report — the watchdog's
+    failure line must carry the same label or a failed --student/--e2e/
+    --infer run gets logged as a teacher-row failure."""
+    if "--student" in sys.argv:
+        return "student_tsd_train_scans_per_sec"
+    if "--e2e" in sys.argv:
+        return "teacher_train_e2e_scans_per_sec"
+    if "--infer" in sys.argv:
+        return "teacher_infer_scans_per_sec"
+    return "teacher_train_scans_per_sec"
+
+
 def _init_watchdog(seconds: int):
     """Emit the one JSON line and exit if jax backend init never returns.
 
@@ -210,7 +223,7 @@ def _init_watchdog(seconds: int):
         if done.wait(seconds):
             return
         print(json.dumps({
-            "metric": "teacher_train_scans_per_sec",
+            "metric": _row_metric(),
             "value": 0.0,
             "unit": f"scans/sec (FAILED: jax backend init exceeded "
                     f"{seconds}s — TPU tunnel down?)",

@@ -33,6 +33,122 @@ def timeit(fn, *args, iters=10):
     return (time.time() - t0) / iters
 
 
+def main_student():
+    """Ablation of the stage-2 TSD distillation step: where do the ~9ms go?
+
+    Times, on the current device with host plumbing/geometry:
+      (a) full distill train step (student fwd+bwd + frozen teacher fwd +
+          all 5 losses + SGD) — the bench.py --student row,
+      (b) the same step with the teacher ablated (run_teacher=False,
+          KD terms dropped) — student-side cost,
+      (c) frozen teacher forward alone (eval mode, multisweep cloud),
+      (d) student fwd+bwd via the camera-free ``lidar_only`` path —
+          splits the image-branch + fusion cost out of (b).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from u2mkd_tpu.data import plumbing_host, synthetic, wgeom_host
+    from u2mkd_tpu.models.tsd import TSDFull
+    from u2mkd_tpu.ops import losses
+    from u2mkd_tpu.ops.precision import set_compute_dtype
+    from u2mkd_tpu.train import distill, optim
+    from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
+
+    setup_compilation_cache()
+    platform = jax.devices()[0].platform
+    if platform != "cpu":
+        set_compute_dtype("bfloat16")
+    s_p, bsz = 4096, 1
+    for a in sys.argv:
+        if a.startswith("--points="):
+            s_p = int(a.split("=")[1])
+    t_p = s_p * 2
+    s_caps = tuple(s_p // (1 << i) for i in range(5))
+    t_caps = tuple(t_p // (1 << i) for i in range(5))
+    rng = np.random.RandomState(0)
+    raw = synthetic.make_multimodal_batch(
+        rng, bsz, s_p, t_p, voxel_size=0.1, num_cams=3, im_hw=(360, 640))
+    batch = jax.tree_util.tree_map(jnp.asarray, raw)
+    model = TSDFull(num_classes=17, cr=1.0, cr_t=2.0,
+                    window_size=(0.6, 0.6, 0.6),
+                    quant_size=(0.6 / 24,) * 3, pallas_attention=True)
+    wp = wgeom_host.params_from_model(model)
+    for key, caps in (("student", s_caps), ("teacher", t_caps)):
+        pl = plumbing_host.batch_plumbing(
+            raw[key]["pcoords"], raw[key]["xyz"], raw[key]["pmask"], caps,
+            wgeom_params=wp)
+        batch[key]["plumbing"] = jax.tree_util.tree_map(jnp.asarray, pl)
+    tx = distill.make_frozen_teacher_optimizer(
+        optim.make_optimizer("sgd_spformer", 0.02))
+    st = distill.create_distill_state(
+        model, tx, batch["student"], batch["teacher"], s_caps, t_caps,
+        jax.random.PRNGKey(0))
+    res = {}
+
+    # (a) full distill step
+    step = jax.jit(distill.make_distill_train_step(model, tx, s_caps, t_caps))
+    res["full_distill_step_ms"] = timeit(
+        lambda s, bt: step(s, bt, jax.random.PRNGKey(1))[1]["loss"], st, batch
+    ) * 1e3
+
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+    sb, tb = batch["student"], batch["teacher"]
+    from u2mkd_tpu.train.state import get_plumbing
+    spl = get_plumbing(sb, s_caps)
+    tpl = get_plumbing(tb, t_caps)
+    labels = sb["labels"].reshape(-1)
+    valid = (sb["pmask"] & (sb["labels"] != 0)).reshape(-1)
+
+    # (b) student-only fwd+bwd (no teacher, CE/Lovász + learner MSE only)
+    def stu_loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": st.batch_stats},
+            sb, spl, tb, tpl, True, run_teacher=False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])[0]["stu"]
+        flat = out["x_vox"].reshape(-1, out["x_vox"].shape[-1])
+        return losses.lovasz_ce(flat, labels, valid) + sum(out["mse_loss"])
+
+    gb = jax.jit(jax.grad(stu_loss))
+    res["student_fwd_bwd_ms"] = timeit(
+        lambda: jax.tree_util.tree_leaves(gb(st.params))[0]) * 1e3
+
+    # (c) frozen teacher forward (eval)
+    def t_fwd(params):
+        return model.apply(
+            {"params": params, "batch_stats": st.batch_stats},
+            tb["feats"], tpl, False,
+            method=lambda m, f, p, t: m.model_t(f, p, t))["x_vox"]
+
+    tf = jax.jit(t_fwd)
+    res["teacher_fwd_ms"] = timeit(lambda: tf(st.params)) * 1e3
+
+    # (d) camera-free student fwd+bwd (lidar_only learner path)
+    def stu_lidar_loss(params):
+        out = model.apply(
+            {"params": params, "batch_stats": st.batch_stats},
+            sb, spl, True, method=TSDFull.lidar_only,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])[0]
+        flat = out["x_vox"].reshape(-1, out["x_vox"].shape[-1])
+        return losses.lovasz_ce(flat, labels, valid)
+
+    gl = jax.jit(jax.grad(stu_lidar_loss))
+    res["student_lidar_only_fwd_bwd_ms"] = timeit(
+        lambda: jax.tree_util.tree_leaves(gl(st.params))[0]) * 1e3
+
+    res["image_fusion_cost_ms"] = round(
+        res["student_fwd_bwd_ms"] - res["student_lidar_only_fwd_bwd_ms"], 3)
+    res["kd_glue_cost_ms"] = round(
+        res["full_distill_step_ms"] - res["student_fwd_bwd_ms"]
+        - res["teacher_fwd_ms"], 3)
+    res["platform"] = platform
+    res["s_points"], res["t_points"], res["batch"] = s_p, t_p, bsz
+    print(json.dumps({k: round(v, 2) if isinstance(v, float) else v
+                      for k, v in res.items()}))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -135,4 +251,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--student" in sys.argv:
+        main_student()
+    else:
+        main()

@@ -72,6 +72,55 @@ def test_pretrain_restore_skips_classifier(tmp_path):
     )
 
 
+def test_crash_between_renames_recovers(tmp_path):
+    """A save preempted between its two renames leaves the only intact
+    checkpoint under ``latest.old``; both restore and the next save must
+    promote it back instead of treating it as garbage (regression: the old
+    cleanup rmtree'd ``.old`` first, destroying the sole survivor)."""
+    st, model, tx, batch = _state()
+    mgr = C.CheckpointManager(str(tmp_path))
+    mgr.save_latest(st, epoch=1)
+    live = os.path.join(tmp_path, "checkpoints", "latest")
+
+    # simulate the crash window: live has been renamed to .old, the new
+    # .tmp never made it to the live name (crash discarded it)
+    os.rename(live, live + ".old")
+    assert not os.path.exists(live)
+
+    restored = mgr.restore("latest", jax.device_get(st))
+    for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # same window again, but the next event is a save — it must not rmtree
+    # the orphan before writing the replacement
+    os.rename(live, live + ".old")
+    mgr.save_latest(st, epoch=2)
+    assert os.path.exists(live)
+    assert not os.path.exists(live + ".old")
+    mgr.restore("latest", jax.device_get(st))
+
+
+def test_pretrain_batch_stats_zero_match_raises(tmp_path):
+    """Restoring BN statistics from an incompatible checkpoint must fail
+    loudly — eval-mode forwards on init running stats (mean 0 / var 1) are
+    silently wrong in a way no later metric exposes."""
+    st, model, tx, batch = _state()
+    mgr = C.CheckpointManager(str(tmp_path))
+    mgr.save_latest(st, 1)
+    ckpt = os.path.join(tmp_path, "checkpoints", "latest")
+
+    alien = {"totally": {"different": {"mean": np.zeros((7,), np.float32)}}}
+    with pytest.raises(ValueError, match="ZERO batch-stats"):
+        C.load_pretrain_batch_stats(ckpt, alien)
+
+    # matching target still round-trips
+    out = C.load_pretrain_batch_stats(ckpt, jax.device_get(st.batch_stats))
+    for a, b in zip(jax.tree_util.tree_leaves(st.batch_stats),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_teacher_restore_into_tsd(tmp_path):
     st, model, tx, batch = _state(0)
     mgr = C.CheckpointManager(str(tmp_path))

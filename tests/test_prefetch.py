@@ -138,6 +138,33 @@ def test_prefetch_close_stops_worker():
     assert not done.is_set()
 
 
+def test_prefetch_sentinel_survives_full_queue():
+    """End-of-epoch must reach a slow consumer even when the queue is full.
+
+    Regression: the worker used ``put_nowait`` for the end-of-iteration
+    sentinel, which silently dropped it whenever the consumer lagged (queue
+    full at source exhaustion — i.e. any epoch whose device step was slower
+    than the loader). The consumer then blocked in ``q.get()`` forever and
+    training hung at every epoch boundary."""
+    from u2mkd_tpu.data.prefetch import prefetch
+
+    got = []
+    finished = threading.Event()
+
+    def consume():
+        # depth=1: the worker fills the queue instantly, then exhausts the
+        # source while the queue is still full — the exact drop window.
+        for item in prefetch(iter(range(3)), depth=1):
+            time.sleep(0.3)  # consumer slower than producer
+            got.append(item)
+        finished.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert finished.wait(10.0), "consumer hung: end-of-epoch sentinel lost"
+    assert got == [0, 1, 2]
+
+
 def test_prefetch_close_unwinds_pipeline():
     """close() propagates through maybe_pipelined so the thread pool and
     the source generator are shut down too."""

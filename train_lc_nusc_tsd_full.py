@@ -52,7 +52,7 @@ def main():
               f"{jax.process_count()}")
 
     n_dev = jax.device_count()
-    use_dp = n_dev > 1 and cfg.batch_size % n_dev == 0
+    use_dp = pmesh.use_data_parallel(cfg)
     axis = pmesh.DATA_AXIS if use_dp else None
 
     model = builder.make_model(cfg, axis_name=axis)

@@ -97,13 +97,14 @@ def _epoch_iter(ds, batch_size, collate_fn, shuffle, rng, to_device,
 
 def dp_shard_count(cfg) -> int:
     """Number of LOCAL data-parallel shards a loader batch will be split
-    into — must match the CLI's use_dp decision (train_spformer.py)."""
+    into — delegates to the CLIs' shared DP predicate
+    (``parallel.mesh.use_data_parallel``) so loader and step cannot
+    disagree on the wgeom shard layout."""
     import jax
 
-    n_dev = jax.device_count()
-    if n_dev > 1 and cfg.batch_size % n_dev == 0:
-        return jax.local_device_count()
-    return 1
+    from u2mkd_tpu.parallel.mesh import use_data_parallel
+
+    return jax.local_device_count() if use_data_parallel(cfg) else 1
 
 
 def _wgeom_params(cfg):

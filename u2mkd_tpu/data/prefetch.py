@@ -46,10 +46,19 @@ def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:
                 close = getattr(iterable, "close", None)
                 if close is not None:
                     close()  # unwind pipelined_map's thread pool now
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel MUST reach the consumer or it blocks in q.get()
+            # forever (a put_nowait here silently dropped it whenever the
+            # consumer lagged and the queue was full — i.e. at the end of
+            # every epoch whose device step was slower than the loader).
+            # Block with a stop-checking timeout like the item loop; give
+            # up only when the consumer is gone (stop set).
+            while True:
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

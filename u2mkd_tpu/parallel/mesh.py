@@ -43,6 +43,16 @@ def initialize_distributed(
     )
 
 
+def use_data_parallel(cfg) -> bool:
+    """THE data-parallel decision: shard the step over the device mesh when
+    more than one device is visible and the global batch divides evenly.
+    Single source of truth — the training/eval CLIs (step construction,
+    axis_name, world-scaled schedule) and the loaders' window-geometry
+    shard layout (``loaders.dp_shard_count``) must agree, or the shipped
+    wgeom leading shard dim won't match what the step expects."""
+    return jax.device_count() > 1 and cfg.batch_size % jax.device_count() == 0
+
+
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     devs = jax.devices()
     if num_devices is not None:

@@ -47,12 +47,15 @@ class CheckpointManager:
         Deleting the live checkpoint before the replacement exists would
         leave a preempted run with NO resumable state; with the rename
         dance every interruption point leaves either the old or the new
-        checkpoint intact on disk (stale .tmp/.old dirs are reclaimed on
-        the next save)."""
+        checkpoint intact on disk. A crash between the two renames leaves
+        the survivor under the ``.old`` name only, so both this method and
+        :meth:`restore` first promote an orphaned ``.old`` back to the live
+        name (stale .tmp dirs are reclaimed on the next save)."""
         import shutil
 
         path = _path(self.run_dir, name)
         tmp, old = path + ".tmp", path + ".old"
+        self._recover(path)
         for p in (tmp, old):
             if os.path.exists(p):
                 shutil.rmtree(p)
@@ -81,8 +84,20 @@ class CheckpointManager:
             return True
         return False
 
+    @staticmethod
+    def _recover(path: str) -> None:
+        """Promote an orphaned ``<path>.old`` back to the live name: a save
+        preempted between its two renames leaves the only intact checkpoint
+        under ``.old``, which neither restore nor the next save's cleanup
+        would otherwise consult."""
+        old = path + ".old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+
     def restore(self, name: str, target):
-        return self._ckpt.restore(_path(self.run_dir, name), target=target)
+        path = _path(self.run_dir, name)
+        self._recover(path)
+        return self._ckpt.restore(path, target=target)
 
     def latest_epoch(self) -> Optional[int]:
         meta = os.path.join(self.dir, "latest.json")
@@ -148,7 +163,18 @@ def load_pretrain_batch_stats(path: str, target_stats):
     if "batch_stats" not in loaded:
         return target_stats
     stats = {"matched": 0, "unmatched": 0, "skipped": 0}
-    return _merge_matching(target_stats, loaded["batch_stats"], False, stats)
+    out = _merge_matching(target_stats, loaded["batch_stats"], False, stats)
+    n_target = len(jax.tree_util.tree_leaves(target_stats))
+    if n_target and stats["matched"] == 0:
+        raise ValueError(
+            f"pretrain restore from {path} matched ZERO batch-stats buffers "
+            f"(target has {n_target} BN leaves) — eval-mode forwards would "
+            f"run on init running stats; wrong checkpoint or incompatible "
+            f"architecture/cr")
+    if stats["unmatched"]:
+        print(f"pretrain restore: {stats['matched']} BN buffers loaded, "
+              f"{stats['unmatched']} left at init")
+    return out
 
 
 def load_teacher_params(teacher_ckpt_dir: str, tsd_params):

@@ -28,18 +28,18 @@ from typing import Dict
 import numpy as np
 
 
-def _pad128(w: int) -> int:
-    return max(128, -(-w // 128) * 128)
-
-
 def _branch_spec(d: int, g: int, radial: bool):
-    """(sk, sv) segment widths for one branch (mirrors FlashRPEConfig)."""
-    n_diff = 2 if radial else 3
-    lr = 2 * g if radial else 0
-    wd = n_diff * g
-    sk = _pad128(d + 2 * wd + 2 * lr)
-    sv = _pad128(d + wd + lr)
-    return sk, sv
+    """(sk, sv) segment widths for one branch — read off the kernel's own
+    ``FlashRPEConfig`` so the accounting cannot drift from the layout the
+    kernel actually executes."""
+    from u2mkd_tpu.ops.pallas.wattn_kernel import FlashRPEConfig
+
+    cfg = FlashRPEConfig(
+        tile=128, h=1, d=d, g=g, l2=2 * g if radial else 2 * g - 1,
+        n_diff=2 if radial else 3, radial=radial,
+        lr=2 * g if radial else 0, a=0.0,
+    )
+    return cfg.sk, cfg.sv
 
 
 def geom_tile(geom: Dict[str, np.ndarray]) -> int:
@@ -62,27 +62,25 @@ def _tile_pairs(geom: Dict[str, np.ndarray], tile: int) -> int:
 
 def level_attn_specs(model):
     """Per encoder level (1..4): (heads_cubic, heads_sphere, head_dim,
-    g_cubic, g_sphere), following the model's window/quant doubling
-    (reference ``spvcnn_spformer.py:77-83``)."""
+    g_cubic, g_sphere). The window/quant doubling comes from the single
+    shared implementation (``wgeom_host.level_window_params``, mirroring
+    reference ``spvcnn_spformer.py:77-83``); heads follow the model exactly
+    (num_heads = cs[l] // head_dim, split h//2 / h - h//2)."""
+    from u2mkd_tpu.data.wgeom_host import level_window_params
+
     cs = [int(model.cr * x) for x in model.base_channels]
     d = int(model.head_dim)
-    ws = list(model.window_size)
-    qs = list(model.quant_size)
-    wss = list(model.window_size_sphere)
-    qss = list(model.quant_size_sphere)
-    wsc, wss_scale = model.window_size_scale
+    lw = level_window_params(model.window_size, model.window_size_sphere,
+                             model.quant_size, model.quant_size_sphere,
+                             model.window_size_scale)
     out = []
     for idx in range(4):
         h = cs[idx + 1] // d
         h1 = h // 2
-        h2 = h - h1
-        g_cub = int((ws[0] + 1e-4) / qs[0])
-        g_sph = int((wss[0] + 1e-4) / qss[0])
-        out.append((h1, h2, d, g_cub, g_sph))
-        ws = [w * wsc for w in ws]
-        qs = [q * wsc for q in qs]
-        wss = [wss[0] * wss_scale, wss[1] * wss_scale, wss[2]]
-        qss = [qss[0] * wss_scale, qss[1] * wss_scale, qss[2]]
+        e = lw[idx]
+        g_cub = int((e["ws"][0] + 1e-4) / e["qs"][0])
+        g_sph = int((e["wss"][0] + 1e-4) / e["qss"][0])
+        out.append((h1, h - h1, d, g_cub, g_sph))
     return out
 
 

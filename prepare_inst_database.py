@@ -61,7 +61,9 @@ def extract_instances(points, sem_label, pano_label, thing_list, class_names,
         if not mask.any():
             continue
         for inst_id in np.unique(pano_label[mask]):
-            if inst_id == 0:
+            # 0 = unlabeled; -1 = invalid waymo panoptic id (reference
+            # prepare_waymo_inst_database.py:136-137)
+            if inst_id == 0 or inst_id == -1:
                 continue
             idx = np.where(pano_label == inst_id)[0]
             if len(idx) < min_points:
@@ -141,16 +143,27 @@ def run_kitti(args):
 
 def run_waymo(args):
     """Waymo keyframes.txt-driven extraction (reference
-    ``prepare_waymo_inst_database.py:53-80``): expects pre-extracted
-    frame .npy files with xyzi + sem + pano columns."""
+    ``prepare_waymo_inst_database.py:53-125``).
+
+    Raw-format lines (``<seq>/lidar/<frame>.bin``) follow the reference's
+    exact parsing: 6-col float32 lidar + [pano, sem] int32 labels + top-
+    lidar sensor masks, both returns (``_ri2`` siblings) merged, rows
+    saved as xyzie; ``.npy`` lines use the pre-extracted convenience
+    format (xyzi + sem + pano columns)."""
+    from u2mkd_tpu.data.waymo import load_waymo_raw_keyframe
+
     keyframes = os.path.join(args.root, "keyframes.txt")
     with open(keyframes) as f:
-        frames = f.read().splitlines()
+        frames = [l for l in f.read().splitlines() if l]
     db = defaultdict(list)
     for fr in frames:
-        arr = np.load(os.path.join(args.root, fr))
-        pts, sem, pano = arr[:, :4], arr[:, 4].astype(np.int32), arr[:, 5].astype(np.int64)
-        token = os.path.splitext(os.path.basename(fr))[0]
+        if fr.endswith(".bin"):
+            pts, sem, pano, token = load_waymo_raw_keyframe(args.root, fr)
+        else:
+            arr = np.load(os.path.join(args.root, fr))
+            pts, sem, pano = (arr[:, :4], arr[:, 4].astype(np.int32),
+                              arr[:, 5].astype(np.int64))
+            token = os.path.splitext(os.path.basename(fr))[0]
         extract_instances(pts, sem, pano, WAYMO_THING_LIST, WAYMO_CLASS_NAMES,
                           token, args.out, db,
                           min_points=MIN_INST_POINT["waymo"])

@@ -183,3 +183,52 @@ def test_prefetch_close_unwinds_pipeline():
     n = len(consumed)
     time.sleep(0.5)
     assert len(consumed) <= n + 8  # pool depth worth of slack, no more
+
+
+def test_process_pipelined_map_matches_inline():
+    """Process-pool plumbing stage (VERDICT r3 next #3): identical results
+    to the inline build, through real fork + pickle round-trips."""
+    import numpy as np
+
+    from u2mkd_tpu.data import plumbing_host, synthetic
+    from u2mkd_tpu.data.loaders import PlumbingStage
+    from u2mkd_tpu.data.prefetch import process_pipelined_map
+
+    caps = (256, 128, 64, 32, 16)
+    rng = np.random.RandomState(0)
+    batches = [synthetic.make_batch(np.random.RandomState(i), 1, 256,
+                                    voxel_size=0.2) for i in range(3)]
+    stage = PlumbingStage(caps)
+    got = list(process_pipelined_map(stage, iter(batches), workers=2))
+    assert len(got) == 3
+    for i, b in enumerate(got):
+        want = plumbing_host.batch_plumbing(
+            batches[i]["pcoords"], batches[i]["xyz"], batches[i]["pmask"],
+            caps)
+        for k in want:
+            for li, arr in enumerate(want[k]):
+                np.testing.assert_array_equal(b["plumbing"][k][li], arr)
+
+
+def test_plumbing_stage_tsd_concurrent_feeds():
+    """TSD stage builds both feeds (concurrently) and matches serial."""
+    import numpy as np
+
+    from u2mkd_tpu.data import plumbing_host, synthetic
+    from u2mkd_tpu.data.loaders import PlumbingStage
+
+    s_caps = (192, 96, 48, 24, 12)
+    t_caps = (256, 128, 64, 32, 16)
+    raw = synthetic.make_multimodal_batch(np.random.RandomState(1), 1, 192,
+                                          256, voxel_size=0.3, num_cams=2,
+                                          im_hw=(16, 24))
+    stage = PlumbingStage(None, tsd_caps={"student": s_caps,
+                                          "teacher": t_caps})
+    out = stage(dict(raw))
+    for key, caps in (("student", s_caps), ("teacher", t_caps)):
+        want = plumbing_host.batch_plumbing(
+            raw[key]["pcoords"], raw[key]["xyz"], raw[key]["pmask"], caps)
+        got = out[key]["plumbing"]
+        for k in want:
+            for li, arr in enumerate(want[k]):
+                np.testing.assert_array_equal(got[k][li], arr)

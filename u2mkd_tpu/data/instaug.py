@@ -99,7 +99,9 @@ class InstAugmentation:
         with open(instance_pkl_path, "rb") as f:
             db = pickle.load(f)
         if class_name is not None:
-            self.records = [db[c] for c in class_name]
+            # a class with no database instances (possible on small splits)
+            # simply never gets sampled — inst_aug skips empty record lists
+            self.records = [db.get(c, []) for c in class_name]
         else:
             self.records = list(db.values()) if isinstance(db, dict) else db
         if class_weight is not None:

@@ -102,6 +102,46 @@ def pipelined_map(fn, iterable: Iterable, workers: int,
             yield futs.popleft().result()
 
 
+def process_pipelined_map(fn, iterable: Iterable, workers: int,
+                          depth: int = None,
+                          mp_context: str = None) -> Iterator:
+    """``pipelined_map`` on a PROCESS pool (VERDICT r3 next #3): escapes
+    the GIL for the numpy-heavy parts of the plumbing stage that threads
+    cannot overlap (the C++ builders already release the GIL, so threads
+    cover them; pure-numpy batches do not scale on threads).
+
+    ``fn`` must be picklable (a top-level callable or an instance of a
+    module-level class such as ``loaders.PlumbingStage``); batches round-
+    trip through pickle, so process workers only pay off when per-batch
+    compute is large relative to its array payload (tens of MB at 131k
+    points). Workers never touch jax/the device.
+
+    ``mp_context`` (or ``U2MKD_MP_CONTEXT``) picks the start method.
+    Default ``spawn``: the training parent is multithreaded (jax runtime,
+    prefetch threads), and forking a multithreaded process can deadlock a
+    child on a lock some other thread held at fork time. ``fork`` is
+    cheaper to start (no re-import) and fine for short-lived pools in
+    single-threaded parents."""
+    import collections
+    import multiprocessing as mp
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    if depth is None:
+        depth = workers + 2
+    if mp_context is None:
+        mp_context = os.environ.get("U2MKD_MP_CONTEXT", "spawn")
+    ctx = mp.get_context(mp_context)
+    with ProcessPoolExecutor(max_workers=workers, mp_context=ctx) as ex:
+        futs = collections.deque()
+        for item in iterable:
+            futs.append(ex.submit(fn, item))
+            if len(futs) >= depth:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+
+
 def prefetched_loader(loader_fn: Callable[[], Iterable], depth: int = 2):
     """Wrap a loader factory so each epoch's iteration is prefetched."""
 
@@ -112,13 +152,17 @@ def prefetched_loader(loader_fn: Callable[[], Iterable], depth: int = 2):
 
 
 def maybe_pipelined(fn, iterable: Iterable, workers: int,
-                    enabled: bool = True) -> Iterator:
+                    enabled: bool = True,
+                    use_processes: bool = False) -> Iterator:
     """The loaders' shared pipeline policy: run ``fn`` (host plumbing +
-    window geometry) through ``pipelined_map`` when ``enabled`` and
-    ``workers > 1``, else apply it inline. One definition so the three
-    loader families (uni-modal, distill, synthetic) cannot drift."""
+    window geometry) through ``pipelined_map`` (threads; default) or
+    ``process_pipelined_map`` (``use_processes=True``, requires picklable
+    ``fn``) when ``enabled`` and ``workers > 1``, else apply it inline.
+    One definition so the three loader families (uni-modal, distill,
+    synthetic) cannot drift."""
     if enabled and workers > 1:
-        yield from pipelined_map(fn, iterable, workers)
+        mapper = process_pipelined_map if use_processes else pipelined_map
+        yield from mapper(fn, iterable, workers)
     else:
         for item in iterable:
             yield fn(item)

@@ -201,10 +201,41 @@ def test_export_html_viewer(tmp_path, rng):
         class_names=[f"c{i}" for i in range(5)])
     html = open(out).read()
     assert html.startswith("<!DOCTYPE html>")
-    assert '"pts"' in html and '"palette"' in html
+    assert '"pts"' in html and '"modes"' in html
     assert "orbit" in html
     # payload round-trips: same number of points
     import json as _json
     payload = html.split("const D=", 1)[1].split(";\nconst cv", 1)[0]
     data = _json.loads(payload)
-    assert len(data["pts"]) == 500 and len(data["lab"]) == 500
+    assert len(data["pts"]) == 500
+    assert set(data["modes"]) == {"q"} and data["first"] == "q"
+    assert len(data["modes"]["q"]["col"]) == 500
+
+
+def test_export_html_viewer_key_colorings(tmp_path, rng):
+    """Reference key-callback parity (``visualize_utils.py:312-317``):
+    Q=target, W=predict, V=view, R=rgb, S=select — all shipped as
+    switchable colorings in the one HTML file."""
+    from u2mkd_tpu.utils import visualize
+
+    n = 200
+    xyz = rng.randn(n, 3).astype(np.float32)
+    out = visualize.export_html_viewer(
+        str(tmp_path / "cloud.html"), xyz,
+        labels=rng.randint(0, 17, n),
+        predict=rng.randint(0, 17, n),
+        view=rng.randint(-1, 6, n),
+        rgb=rng.randint(0, 256, (n, 3)),
+        select_inds=np.arange(0, n, 7),
+    )
+    import json as _json
+    html = open(out).read()
+    data = _json.loads(html.split("const D=", 1)[1].split(";\nconst cv", 1)[0])
+    assert set(data["modes"]) == {"q", "w", "v", "r", "s"}
+    names = {m["name"] for m in data["modes"].values()}
+    assert names == {"target", "predict", "view", "rgb", "select"}
+    # view -1 renders white; selected rows red over grey
+    vi = [i for i, v in enumerate(data["modes"]["v"]["lab"]) if v == -1]
+    assert all(data["modes"]["v"]["col"][i] == [255, 255, 255] for i in vi)
+    s_col = data["modes"]["s"]["col"]
+    assert s_col[0] == [255, 0, 0] and s_col[1] == [128, 128, 128]

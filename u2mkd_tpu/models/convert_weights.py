@@ -123,8 +123,9 @@ def convert_swiftnet_full(state_dict: Dict[str, "object"],
 def _deep_merge(dst, src):
     out = dict(dst)
     for k, v in src.items():
-        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
-            out[k] = _deep_merge(out[k], v)
+        if isinstance(v, dict):
+            cur = out.get(k)
+            out[k] = _deep_merge(cur if isinstance(cur, dict) else {}, v)
         else:
             import jax.numpy as jnp
 
@@ -135,7 +136,18 @@ def _deep_merge(dst, src):
 def load_imagenet_pretrain(path: str, variables: dict,
                            scope: str = "pix_branch") -> dict:
     """Merge a torch resnet checkpoint into a variables dict whose params
-    contain ``scope``. Returns updated variables; no-op if path is falsy."""
+    contain ``scope``. Returns updated variables; no-op if path is falsy.
+
+    Expected file (reference ``swiftnet.py:338-343``): torchvision's
+    ``resnet18-5c106cde.pth`` (the 8-hex suffix is the leading sha256 of
+    the file, per torchvision's naming convention;
+    https://download.pytorch.org/models/resnet18-5c106cde.pth). Its
+    state_dict has 122 entries: 102 tensors this converter consumes or
+    skips (conv/bn/fc) plus 20 ``num_batches_tracked`` counters. The
+    backbone mapping matches 100 tensors (everything except ``fc.weight``
+    / ``fc.bias`` — the reference also drops them via ``strict=False``).
+    A file that matches ZERO backbone tensors raises instead of silently
+    training from random init."""
     if not path:
         return variables
     import torch
@@ -146,6 +158,20 @@ def load_imagenet_pretrain(path: str, variables: dict,
     p_up, s_up = convert_resnet_to_swiftnet(
         {k: v.numpy() for k, v in sd.items()}
     )
+    def _count(tree):
+        if isinstance(tree, dict):
+            return sum(_count(v) for v in tree.values())
+        return 1
+
+    n_loaded = _count(p_up) + _count(s_up)
+    if n_loaded == 0:
+        raise ValueError(
+            f"ImageNet pretrain {path!r}: no torchvision-resnet keys found "
+            f"(got {sorted(sd)[:5]}...) — wrong file? Expected "
+            f"resnet18-5c106cde.pth-style state_dict (see docstring)."
+        )
+    print(f"[convert_weights] loaded {n_loaded} backbone tensors "
+          f"from {path}")
     out = dict(variables)
     params = dict(out["params"])
     params[scope] = _deep_merge(params[scope], p_up)

@@ -24,10 +24,38 @@ NUSC_CLASS_COLORS = np.array(
     np.uint8,
 )
 
-# cross-dataset label maps (reference ``visualize_utils.py:164-210``)
+# 22-class palette covering the cross-dataset (kitti/waymo-extended) label
+# space (reference ``visualize_utils.py:IDX2COLOR_22``); rows 0..16 equal
+# NUSC_CLASS_COLORS
+IDX2COLOR_22 = np.array(
+    list(NUSC_CLASS_COLORS) + [
+        [255, 40, 200],   # bicyclist
+        [150, 30, 90],    # motorcyclist
+        [150, 255, 170],  # lane_marker
+        [255, 0, 0],      # traffic_sign
+        [255, 150, 150],  # curb
+        [255, 240, 150],  # pole
+    ],
+    np.uint8,
+)
+
+# camera-view index colors (reference ``visualize_utils.py:VIEW_COLORS``)
+VIEW_COLORS = np.array(
+    [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0], [255, 0, 255],
+     [0, 255, 255]],
+    np.uint8,
+)
+
+# cross-dataset label maps into the 22-class space above (reference
+# ``visualize_utils.py:MapSemKITTI2NUSC`` / ``MapWaymo2NUSC``)
 MAP_SEMKITTI_TO_NUSC = {
-    0: 0, 1: 4, 2: 2, 3: 6, 4: 10, 5: 5, 6: 7, 7: 2, 8: 6, 9: 11, 10: 9,
-    11: 13, 12: 12, 13: 15, 14: 15, 15: 16, 16: 14, 17: 14, 18: 15, 19: 16,
+    0: 0, 1: 4, 2: 2, 3: 6, 4: 10, 5: 5, 6: 7, 7: 17, 8: 18, 9: 11, 10: 12,
+    11: 13, 12: 12, 13: 15, 14: 1, 15: 16, 16: 16, 17: 14, 18: 22, 19: 20,
+}
+MAP_WAYMO_TO_NUSC = {
+    0: 0, 1: 4, 2: 10, 3: 3, 4: 5, 5: 18, 6: 17, 7: 7, 8: 8, 9: 20, 10: 22,
+    11: 1, 12: 2, 13: 6, 14: 15, 15: 16, 16: 9, 17: 21, 18: 11, 19: 19,
+    20: 12, 21: 14, 22: 13,
 }
 
 
@@ -81,34 +109,86 @@ def export_html_viewer(path: str, xyz: np.ndarray,
                        labels: Optional[np.ndarray] = None,
                        class_names: Optional[list] = None,
                        max_points: int = 200000,
-                       title: str = "point cloud") -> str:
+                       title: str = "point cloud",
+                       predict: Optional[np.ndarray] = None,
+                       view: Optional[np.ndarray] = None,
+                       rgb: Optional[np.ndarray] = None,
+                       select_inds: Optional[np.ndarray] = None) -> str:
     """Interactive point-cloud viewer as ONE self-contained HTML file.
 
-    Replacement for the reference's open3d window (``visualize_utils.py:
-    164-210``) that works in a headless environment: drag = orbit, wheel =
-    zoom, keys 1..9 toggle classes — open the file in any browser, no
-    dependencies or network. Colors follow the label palette used by
-    ``save_bev_png``.
+    Replacement for the reference's open3d window (``visualize_pcd``,
+    ``visualize_utils.py:226-328``) that works in a headless environment:
+    drag = orbit, wheel = zoom, keys 0-9 toggle classes — open the file in
+    any browser, no dependencies or network.
+
+    Key-switchable colorings mirror the reference's key callbacks
+    (``visualize_utils.py:312-317``):
+
+      Q  ground-truth ``labels`` (IDX2COLOR_22 palette)
+      W  ``predict`` labels (same palette)
+      V  ``view`` camera index (VIEW_COLORS; -1 -> white)
+      R  ``rgb`` per-point [N, 3] uint8 colors
+      S  ``select_inds`` highlight (selected red over grey)
+
+    Only colorings passed as arrays appear; the first available is the
+    initial one.
     """
     import json as _json
 
     xyz = np.asarray(xyz, np.float32)
     n = len(xyz)
-    if labels is None:
-        labels = np.zeros(n, np.int32)
-    labels = np.asarray(labels, np.int32)
     if n > max_points:
         sel = np.random.RandomState(0).choice(n, max_points, replace=False)
-        xyz, labels = xyz[sel], labels[sel]
-    center = xyz.mean(0)
-    xyz = xyz - center
-    k = int(labels.max()) + 1 if len(labels) else 1
-    rng = np.random.RandomState(7)
-    palette = (rng.rand(max(k, 1), 3) * 200 + 40).astype(int).tolist()
+    else:
+        sel = slice(None)
+    xyz = xyz[sel]
+    xyz = xyz - xyz.mean(0)
+
+    pal22 = IDX2COLOR_22.astype(int)
+    modes = {}  # key -> {"name", "colors" [n,3] int}
+    if labels is not None:
+        lab = np.asarray(labels, np.int32)[sel]
+        modes["q"] = {"name": "target",
+                      "col": pal22[lab % len(pal22)].tolist(), "lab": lab}
+    if predict is not None:
+        pr = np.asarray(predict, np.int32)[sel]
+        modes["w"] = {"name": "predict",
+                      "col": pal22[pr % len(pal22)].tolist(), "lab": pr}
+    if view is not None:
+        vw = np.asarray(view, np.int32)[sel]
+        vc = np.where((vw >= 0)[:, None],
+                      VIEW_COLORS[np.clip(vw, 0, len(VIEW_COLORS) - 1)],
+                      np.uint8(255))
+        modes["v"] = {"name": "view", "col": vc.tolist(), "lab": vw}
+    if rgb is not None:
+        modes["r"] = {"name": "rgb",
+                      "col": np.asarray(rgb, np.uint8)[sel].tolist()}
+    if select_inds is not None:
+        s_col = np.full((len(xyz), 3), 128, np.uint8)
+        si = np.asarray(select_inds)
+        if si.dtype == bool:
+            si = si[sel]
+            s_col[si] = (255, 0, 0)
+        else:  # index array: map through the subsample selection
+            m = np.zeros(n, bool)
+            m[si] = True
+            s_col[m[sel]] = (255, 0, 0)
+        modes["s"] = {"name": "select", "col": s_col.tolist()}
+    if not modes:
+        lab = np.zeros(len(xyz), np.int32)
+        modes["q"] = {"name": "height",
+                      "col": pal22[lab].tolist(), "lab": lab}
+
+    first = next(iter(modes))
+    lab_maxes = [int(np.max(m["lab"])) for m in modes.values()
+                 if "lab" in m and len(m["lab"])]
+    k = max(lab_maxes) + 1 if lab_maxes else 1
     payload = {
         "pts": np.round(xyz, 3).tolist(),
-        "lab": labels.tolist(),
-        "palette": palette,
+        "modes": {key: {"name": m["name"], "col": m["col"],
+                        "lab": m.get("lab", np.zeros(len(xyz), np.int32))
+                        .tolist()} for key, m in modes.items()},
+        "first": first,
         "names": list(class_names) if class_names else
                  [f"class {i}" for i in range(k)],
     }
@@ -117,33 +197,37 @@ def export_html_viewer(path: str, xyz: np.ndarray,
 body{margin:0;background:#111;color:#ccc;font:12px monospace;overflow:hidden}
 #hud{position:fixed;top:8px;left:8px;z-index:2;white-space:pre}
 canvas{display:block}</style></head><body>
-<div id="hud">%TITLE% — drag: orbit, wheel: zoom, keys 0-9: toggle class</div>
+<div id="hud"></div>
 <canvas id="c"></canvas><script>
 const D=%DATA%;
 const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+const hud=document.getElementById('hud');
 let W,H;function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;}
 rs();addEventListener('resize',()=>{rs();draw();});
-let ry=0.7,rx=-1.0,zoom=9,hidden=new Set();
+let ry=0.7,rx=-1.0,zoom=9,hidden=new Set(),mode=D.first;
 function draw(){
+ const keys=Object.keys(D.modes).map(k=>k.toUpperCase()+':'+D.modes[k].name)
+  .join(' ');
+ hud.textContent='%TITLE% — drag: orbit, wheel: zoom, 0-9: toggle class, '+
+  keys+'  [mode: '+D.modes[mode].name+']';
  ctx.fillStyle='#111';ctx.fillRect(0,0,W,H);
  const cy=Math.cos(ry),sy=Math.sin(ry),cx=Math.cos(rx),sx=Math.sin(rx);
  const s=Math.min(W,H)/zoom;
- const pts=D.pts,lab=D.lab,pal=D.palette;
+ const pts=D.pts,M=D.modes[mode],col=M.col,lab=M.lab;
  for(let i=0;i<pts.length;i++){
-  const l=lab[i];if(hidden.has(l))continue;
+  if(hidden.has(lab[i]))continue;
   const p=pts[i];
   const x1=p[0]*cy-p[1]*sy, y1=p[0]*sy+p[1]*cy;
-  const y2=y1*cx-p[2]*sx, z2=y1*sx+p[2]*cx;
+  const z2=y1*sx+p[2]*cx;
   const px=W/2+x1*s, py=H/2-z2*s;
   if(px<0||px>W||py<0||py>H)continue;
-  const c=pal[l%pal.length];
+  const c=col[i];
   ctx.fillStyle=`rgb(${c[0]},${c[1]},${c[2]})`;
   ctx.fillRect(px,py,1.6,1.6);
  }
  ctx.fillStyle='#ccc';let y=40;
  for(let l=0;l<D.names.length;l++){
-  const c=pal[l%pal.length];
-  ctx.fillStyle=hidden.has(l)?'#444':`rgb(${c[0]},${c[1]},${c[2]})`;
+  ctx.fillStyle=hidden.has(l)?'#444':'#ccc';
   ctx.fillText(`${l}: ${D.names[l]}`,8,y);y+=14;}
 }
 let drag=false,lx=0,ly=0;
@@ -152,7 +236,9 @@ onmouseup=()=>drag=false;
 onmousemove=e=>{if(!drag)return;ry+=(e.clientX-lx)*0.01;rx+=(e.clientY-ly)*0.01;
  lx=e.clientX;ly=e.clientY;draw();};
 onwheel=e=>{zoom*=e.deltaY>0?1.1:0.9;draw();};
-onkeydown=e=>{const l=parseInt(e.key);if(!isNaN(l)){
+onkeydown=e=>{const k=e.key.toLowerCase();
+ if(D.modes[k]){mode=k;draw();return;}
+ const l=parseInt(e.key);if(!isNaN(l)){
  hidden.has(l)?hidden.delete(l):hidden.add(l);draw();}};
 draw();</script></body></html>"""
     html = html.replace("%TITLE%", title).replace("%DATA%", _json.dumps(payload))

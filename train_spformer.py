@@ -46,7 +46,9 @@ def main():
     from u2mkd_tpu.parallel import mesh as pmesh
     from u2mkd_tpu.train import builder, loop, state as train_state
     from u2mkd_tpu.utils import config as config_lib
+    from u2mkd_tpu.utils.jaxinit import setup_compilation_cache
 
+    setup_compilation_cache()
     cfg = config_lib.load(args.config)
     config_lib.update_dotted(cfg, args.opts)
 

@@ -77,3 +77,41 @@ def test_model_output_parity(rng):
     out_host = np.asarray(model.apply(var, batch["feats"], pl_host, False)["x_vox"])
     m = np.asarray(batch["pmask"])
     np.testing.assert_allclose(out_host[m], out_jax[m], atol=2e-3, rtol=1e-3)
+
+
+def _tree_equal(a, b, path=""):
+    if isinstance(a, dict):
+        assert set(a) == set(b), path
+        for k in a:
+            _tree_equal(a[k], b[k], f"{path}/{k}")
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _tree_equal(x, y, f"{path}[{i}]")
+    else:
+        np.testing.assert_array_equal(a, b, err_msg=path)
+
+
+def test_batch_plumbing_thread_fanout_byte_identical(rng):
+    """The host-parallel paths (per-sample thread pool in batch_plumbing,
+    per-branch pool in batch_window_geometry) never trigger on this 1-core
+    sandbox by default — force them and require byte-identical output vs
+    the serial build (ordering must be deterministic under concurrency)."""
+    from u2mkd_tpu.data import wgeom_host
+
+    raw = synthetic.make_batch(np.random.RandomState(3), 4, 256,
+                               voxel_size=0.3)
+    caps = (256, 128, 64, 32, 16)
+    wp = wgeom_host.level_window_params(
+        (1.2, 1.2, 1.2), (30.0, 30.0, 120.0),
+        (0.15, 0.15, 0.15), (3.75, 3.75, 5.0), (2.0, 1.5))
+    params_serial = dict(levels=wp, tile=32, branch_workers=0)
+    params_pool = dict(levels=wp, tile=32, branch_workers=8)
+
+    serial = plumbing_host.batch_plumbing(
+        raw["pcoords"], raw["xyz"], raw["pmask"], caps,
+        wgeom_params=params_serial, n_shards=2, workers=1)
+    pooled = plumbing_host.batch_plumbing(
+        raw["pcoords"], raw["xyz"], raw["pmask"], caps,
+        wgeom_params=params_pool, n_shards=2, workers=4)
+    _tree_equal(serial, pooled)

@@ -71,7 +71,7 @@ def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
 
 def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
                    capacities: Sequence[int], wgeom_params: Dict = None,
-                   n_shards: int = 1) -> Dict[str, list]:
+                   n_shards: int = 1, workers: int = None) -> Dict[str, list]:
     """Build + stack plumbing for a whole [B, P, ...] batch.
 
     ``wgeom_params`` (from ``wgeom_host.params_from_cfg/params_from_model``)
@@ -82,10 +82,27 @@ def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
     so they shard over the data mesh axis like every other batch leaf).
     """
     b = len(pcoords)
-    per = [
-        build_plumbing_arrays(pcoords[i], pxyz[i], pmask[i], capacities)
-        for i in range(b)
-    ]
+    # per-sample builds are independent; the native builder releases the
+    # GIL, so a thread pool spreads a B>1 (data-parallel) batch across
+    # host cores. Serial when B==1 or on 1-core hosts (pool overhead).
+    import os as _os
+
+    if workers is None:
+        workers = _os.cpu_count() or 1
+    workers = min(b, workers)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            per = list(ex.map(
+                lambda i: build_plumbing_arrays(pcoords[i], pxyz[i],
+                                                pmask[i], capacities),
+                range(b)))
+    else:
+        per = [
+            build_plumbing_arrays(pcoords[i], pxyz[i], pmask[i], capacities)
+            for i in range(b)
+        ]
     out = {
         k: [np.stack([s[k][li] for s in per]) for li in range(len(capacities))]
         for k in per[0]
@@ -95,14 +112,19 @@ def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
 
         assert b % n_shards == 0, (b, n_shards)
         bs = b // n_shards
-        shard_geoms = []
-        for s in range(n_shards):
+
+        def shard_geom(s):
             sl = slice(s * bs, (s + 1) * bs)
-            shard_geoms.append(wgeom_host.batch_window_geometry(
+            return wgeom_host.batch_window_geometry(
                 [x[sl] for x in out["voxxyz"]],
                 [m[sl] for m in out["vmask"]],
                 wgeom_params,
-            ))
+            )
+
+        # shards are independent too, but batch_window_geometry already
+        # fans its 8 branch builds across cores — nesting pools on top
+        # just adds contention, so shards stay serial here
+        shard_geoms = [shard_geom(s) for s in range(n_shards)]
         out["wgeom"] = {
             branch: [
                 {k: np.stack([sg[branch][li][k] for sg in shard_geoms])

@@ -131,6 +131,8 @@ def make_distill_train_step(
 
         def loss_fn(params):
             out, mut = fwd(params)
+            # teacher outputs are already stop_gradient'ed inside TSDFull
+            # (models/tsd.py) — no backward runs through the frozen teacher
             stu, tch = out["stu"], out["t"]
             ncls = stu["x_vox"].shape[-1]
             flat = lambda x: x.reshape(-1, x.shape[-1])

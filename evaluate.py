@@ -28,7 +28,8 @@ def main():
     parser.add_argument("--num-vote", type=int, default=1)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("opts", nargs="*")
-    args = parser.parse_args()
+    # intermixed: overrides may appear before or after flag arguments
+    args = parser.parse_intermixed_args()
 
     if args.cpu:
         import jax

@@ -166,3 +166,33 @@ def test_t2s_label_consistency(tmp_path, rng):
     sl = s["labels"][valid]
     tl = t["labels"][t2s[valid]]
     assert (sl == tl).mean() > 0.7
+
+
+def test_label_drop_p_train_only(tmp_path, rng):
+    """``label_drop_p`` (the distill-ablation label-scarcity knob,
+    tools/distill_ablation.py) re-marks ~p of TRAIN keyframe labels as
+    ignore_index 0 and never touches val."""
+    root = make_fake_nusc(tmp_path)
+    add_cameras(root)
+    kw = dict(voxel_size=0.1, student_capacity=512, teacher_capacity=1024,
+              version="v1.0-test", num_sweeps=0, im_drop=0, im_cr=0.1,
+              allow_unofficial_split=True)
+    donor = LCSemanticNuscTSD(root, split="train", **kw)
+    assert len(donor) > 0
+
+    def labeled_frac(split, p):
+        ds = LCSemanticNuscTSD(root, split=split, label_drop_p=p, **kw)
+        ds.samples = donor.samples
+        ds.train = split == "train"
+        lab = ds[0]["student"]["info"]["labels_full"]
+        return (lab != 0).mean(), lab
+
+    full, lab_full = labeled_frac("train", 0.0)
+    starved, _ = labeled_frac("train", 0.9)
+    assert full > 0.5  # fixture labels are dense
+    assert starved < 0.35 * full  # ~90% dropped
+    # val split: knob is inert even when set
+    v0, lv0 = labeled_frac("val", 0.0)
+    v9, lv9 = labeled_frac("val", 0.9)
+    assert v0 == v9
+    np.testing.assert_array_equal(lv0, lv9)

@@ -29,7 +29,9 @@ def main():
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("opts", nargs="*")
-    args = parser.parse_args()
+    # intermixed: dotted k.e.y=value overrides may appear before or after
+    # flag arguments (plain parse_args rejects a second positional group)
+    args = parser.parse_intermixed_args()
 
     if args.cpu:
         import jax

@@ -34,7 +34,8 @@ def main():
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("opts", nargs="*", help="dotted config overrides")
-    args = parser.parse_args()
+    # intermixed: overrides may appear before or after flag arguments
+    args = parser.parse_intermixed_args()
 
     if args.cpu:
         import jax

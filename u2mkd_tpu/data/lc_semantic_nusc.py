@@ -48,6 +48,7 @@ class LCSemanticNuscTSD(SemanticNusc):
         seed: int = 0,
         allow_unofficial_split: bool = False,
         tta: bool = False,
+        label_drop_p: float = 0.0,
     ):
         super().__init__(
             root, voxel_size, teacher_capacity, version, split,
@@ -59,6 +60,13 @@ class LCSemanticNuscTSD(SemanticNusc):
         )
         self.student_capacity = student_capacity
         self.teacher_capacity = teacher_capacity
+        # label-efficiency ablation knob (train split only): fraction of
+        # keyframe point labels re-marked as ignore_index 0 before the loss
+        # sees them, simulating partial annotation. Distillation's KL/feat
+        # terms use the frozen teacher's dense predictions, not labels, so
+        # this isolates what the teacher contributes beyond the annotations
+        # (tools/distill_ablation.py; val labels are never touched).
+        self.label_drop_p = float(label_drop_p)
         self.im_drop = im_drop if self.train else 0
         self.n_keep = len(CAM_CHANNELS) - self.im_drop
         self.im_size = (
@@ -103,6 +111,9 @@ class LCSemanticNuscTSD(SemanticNusc):
             pts = np.concatenate([xyz_a, inten], axis=1)
             inst_aug_mask = np.zeros(len(pts), bool)
             inst_aug_mask[:raw_num] = True
+        if self.train and self.label_drop_p > 0.0:
+            drop = self.rng.random(len(labels)) < self.label_drop_p
+            labels = np.where(drop, 0, labels).astype(labels.dtype)
 
         # ---- teacher feed: multisweep + independent aug ----
         t_pts = pts.copy()

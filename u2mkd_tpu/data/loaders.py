@@ -300,6 +300,8 @@ def make_distill_loaders(cfg, seed: int = 0, tta_val: bool = False,
             seed=seed,
             allow_unofficial_split=d.get("allow_unofficial_split", False),
             tta=tta_val and split == "val",
+            label_drop_p=d.get("label_drop_p", 0.0) if split == "train"
+            else 0.0,
         )
 
     train_ds, val_ds = build("train"), build("val")

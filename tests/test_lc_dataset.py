@@ -196,3 +196,35 @@ def test_label_drop_p_train_only(tmp_path, rng):
     v9, lv9 = labeled_frac("val", 0.9)
     assert v0 == v9
     np.testing.assert_array_equal(lv0, lv9)
+
+
+def test_label_drop_classes_train_only(tmp_path, rng):
+    """``label_drop_classes`` (class-holdout distill-ablation knob) re-marks
+    every TRAIN keyframe label in the held-out classes as ignore_index 0,
+    leaves all other classes and the val split untouched."""
+    root = make_fake_nusc(tmp_path)
+    add_cameras(root)
+    kw = dict(voxel_size=0.1, student_capacity=512, teacher_capacity=1024,
+              version="v1.0-test", num_sweeps=0, im_drop=0, im_cr=0.1,
+              allow_unofficial_split=True)
+    donor = LCSemanticNuscTSD(root, split="train", **kw)
+    assert len(donor) > 0
+
+    def labels_for(split, held):
+        ds = LCSemanticNuscTSD(root, split=split, label_drop_classes=held,
+                               **kw)
+        ds.samples = donor.samples
+        ds.train = split == "train"
+        return ds[0]["student"]["info"]["labels_full"]
+
+    base = labels_for("train", ())
+    present = sorted(set(np.unique(base)) - {0})
+    assert len(present) >= 2, "fixture must contain >=2 labeled classes"
+    held = present[: len(present) // 2]
+    dropped = labels_for("train", held)
+    assert not np.isin(dropped, held).any()
+    keep = ~np.isin(base, held)
+    np.testing.assert_array_equal(dropped[keep], base[keep])
+    # val split: knob is inert even when set
+    np.testing.assert_array_equal(labels_for("val", held),
+                                  labels_for("val", ()))

@@ -59,8 +59,38 @@ def _mious(out):
     return [float(m) / 100 for m in re.findall(r"miou=([0-9.]+)", out)]
 
 
+def _vox_tables(out):
+    """Per-epoch ``{class_row: iou}`` dicts parsed from the ``[val]
+    counts_vox:`` tables the train loop prints (``loop.format_iou_table``;
+    rows are ``c{i}`` with i the class index, plus ``Mean``)."""
+    tables = []
+    for block in out.split("[val] counts_vox:")[1:]:
+        rows = {}
+        for line in block.splitlines():
+            m = re.match(r"\| *(\S+) *\| *([0-9.]+) *\|", line)
+            if m:
+                rows[m.group(1)] = float(m.group(2)) / 100
+            elif rows and not line.startswith(("|", "+")):
+                break
+        tables.append(rows)
+    return tables
+
+
+def _held_iou(out, drop_classes):
+    """Mean IoU over the held-out classes at the best-val epoch (the
+    MaxSaver checkpoint — the same protocol ``evaluate.py`` ships)."""
+    tables = _vox_tables(out)
+    if not tables or not drop_classes:
+        return None
+    best = max(range(len(tables)),
+               key=lambda i: tables[i].get("Mean", 0.0))
+    vals = [tables[best].get(f"c{int(c)}", 0.0) for c in drop_classes]
+    return sum(vals) / len(vals)
+
+
 def run_ablation(root=None, workdir=None, drop=0.9, teacher_epochs=3,
-                 student_epochs=2, teacher_ckpt=None, teacher_miou=None):
+                 student_epochs=2, teacher_ckpt=None, teacher_miou=None,
+                 drop_classes=None):
     workdir = workdir or tempfile.mkdtemp(prefix="distill_ablation_")
     if root is None:
         from make_nusc_mini import generate
@@ -68,6 +98,7 @@ def run_ablation(root=None, workdir=None, drop=0.9, teacher_epochs=3,
         root = os.path.join(workdir, "nusc_mini")
         generate(root)
 
+    prebuilt_teacher = teacher_ckpt is not None
     if teacher_ckpt is None:
         teacher_dir = os.path.join(workdir, "teacher")
         out = _run([
@@ -89,19 +120,41 @@ def run_ablation(root=None, workdir=None, drop=0.9, teacher_epochs=3,
         f"dataset.label_drop_p={drop}",
         f"model.teacher_pretrain={teacher_ckpt}",
     ]
+    if drop_classes:
+        # class-holdout regime: the scratch arm structurally cannot learn a
+        # class no train label ever shows it; the distilled arm can, from
+        # the teacher's dense predictions — the decisive efficacy axis
+        cls = "[" + ",".join(str(int(c)) for c in drop_classes) + "]"
+        common.append(f"dataset.label_drop_classes={cls}")
     out_d = _run(common + ["--run-dir", os.path.join(workdir, "distilled")])
     out_s = _run(common + ["--run-dir", os.path.join(workdir, "scratch"),
                            "criterion.w_kl=0.0", "criterion.w_feat=0.0"])
-    distilled, scratch = _mious(out_d)[-1], _mious(out_s)[-1]
-    return {
+    # best-val over epochs — the MaxSaver protocol both the reference and
+    # evaluate.py use (core/nusc_trainers.py MaxSaver), and far less noisy
+    # than the final epoch on the tiny fixture
+    distilled, scratch = max(_mious(out_d)), max(_mious(out_s))
+    result = {
         "metric": "distill_gap_miou",
         "teacher_miou": round(teacher_miou, 4),
         "distilled_miou": round(distilled, 4),
         "scratch_miou": round(scratch, 4),
         "gap": round(distilled - scratch, 4),
-        "config": {"label_drop_p": drop, "teacher_epochs": teacher_epochs,
+        "config": {"label_drop_p": drop,
+                   "label_drop_classes": list(drop_classes or ()),
+                   "teacher_epochs": ("prebuilt" if prebuilt_teacher
+                                      else teacher_epochs),
                    "student_epochs": student_epochs, "fixture": "nusc_mini"},
     }
+    if drop_classes:
+        # the structural readout: a scratch student receives no gradient
+        # toward a held-out class (CE ignores, Lovász skips absent classes),
+        # so its held-class IoU pins to ~0; any held-class IoU the distilled
+        # arm earns is attributable to the teacher's dense predictions alone
+        hd, hs = _held_iou(out_d, drop_classes), _held_iou(out_s, drop_classes)
+        result["held_iou_distilled"] = round(hd, 4)
+        result["held_iou_scratch"] = round(hs, 4)
+        result["held_gap"] = round(hd - hs, 4)
+    return result
 
 
 if __name__ == "__main__":
@@ -112,5 +165,7 @@ if __name__ == "__main__":
         student_epochs=_arg("student-epochs", 2, int),
         teacher_ckpt=_arg("teacher-ckpt", None, str),
         teacher_miou=_arg("teacher-miou", None, float),
+        drop_classes=_arg("drop-classes", None,
+                          lambda s: [int(c) for c in s.split(",") if c]),
     )
     print(json.dumps(result))

@@ -49,6 +49,7 @@ class LCSemanticNuscTSD(SemanticNusc):
         allow_unofficial_split: bool = False,
         tta: bool = False,
         label_drop_p: float = 0.0,
+        label_drop_classes=(),
     ):
         super().__init__(
             root, voxel_size, teacher_capacity, version, split,
@@ -67,6 +68,11 @@ class LCSemanticNuscTSD(SemanticNusc):
         # this isolates what the teacher contributes beyond the annotations
         # (tools/distill_ablation.py; val labels are never touched).
         self.label_drop_p = float(label_drop_p)
+        # class-holdout variant of the same knob: every train keyframe label
+        # in these (mapped, 1..16) classes is re-marked ignore. Unlike the
+        # random per-point drop, a scratch student structurally CANNOT learn
+        # a held-out class — the decisive distill-efficacy axis.
+        self.label_drop_classes = tuple(int(c) for c in label_drop_classes or ())
         self.im_drop = im_drop if self.train else 0
         self.n_keep = len(CAM_CHANNELS) - self.im_drop
         self.im_size = (
@@ -114,6 +120,9 @@ class LCSemanticNuscTSD(SemanticNusc):
         if self.train and self.label_drop_p > 0.0:
             drop = self.rng.random(len(labels)) < self.label_drop_p
             labels = np.where(drop, 0, labels).astype(labels.dtype)
+        if self.train and self.label_drop_classes:
+            held = np.isin(labels, np.asarray(self.label_drop_classes))
+            labels = np.where(held, 0, labels).astype(labels.dtype)
 
         # ---- teacher feed: multisweep + independent aug ----
         t_pts = pts.copy()

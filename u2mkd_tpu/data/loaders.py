@@ -302,6 +302,8 @@ def make_distill_loaders(cfg, seed: int = 0, tta_val: bool = False,
             tta=tta_val and split == "val",
             label_drop_p=d.get("label_drop_p", 0.0) if split == "train"
             else 0.0,
+            label_drop_classes=d.get("label_drop_classes", ())
+            if split == "train" else (),
         )
 
     train_ds, val_ds = build("train"), build("val")

@@ -143,31 +143,34 @@ namespace {
 // point queries per level); std::unordered_map's pointer-chasing made those
 // lookups ~60% of the whole build at 131k points.
 struct CoordMap {
-  std::vector<uint64_t> keys;
-  std::vector<int32_t> vals;
+  // one 16-byte slot per entry: a probe touches ONE cache line instead of
+  // two (split key/val arrays cost ~2 misses per random probe; the plumbing
+  // builder issues ~14M probes at 131k points, all latency-bound)
+  struct Slot {
+    uint64_t k;
+    int64_t v;
+  };
+  static constexpr uint64_t EMPTY = ~0ULL;
+  std::vector<Slot> slots;
   uint64_t mask = 0;
   size_t size = 0;
 
   void reserve(size_t n) {
     uint64_t cap = 16;
     while (cap < 2 * n + 1) cap <<= 1;
-    keys.assign(cap, ~0ULL);
-    vals.assign(cap, -1);
+    slots.assign(cap, Slot{EMPTY, -1});
     mask = cap - 1;
     size = 0;
   }
   void grow() {
-    std::vector<uint64_t> ok = std::move(keys);
-    std::vector<int32_t> ov = std::move(vals);
-    keys.assign(ok.size() * 2, ~0ULL);
-    vals.assign(ov.size() * 2, -1);
-    mask = keys.size() - 1;
-    for (size_t i = 0; i < ok.size(); ++i) {
-      if (ok[i] == ~0ULL) continue;
-      uint64_t h = splitmix64(ok[i]) & mask;
-      while (keys[h] != ~0ULL) h = (h + 1) & mask;
-      keys[h] = ok[i];
-      vals[h] = ov[i];
+    std::vector<Slot> old = std::move(slots);
+    slots.assign(old.size() * 2, Slot{EMPTY, -1});
+    mask = slots.size() - 1;
+    for (const Slot& s : old) {
+      if (s.k == EMPTY) continue;
+      uint64_t h = splitmix64(s.k) & mask;
+      while (slots[h].k != EMPTY) h = (h + 1) & mask;
+      slots[h] = s;
     }
   }
   // insert if absent; returns the row now stored for key
@@ -175,17 +178,17 @@ struct CoordMap {
     if (mask == 0) reserve(16);
     uint64_t h = splitmix64(key) & mask;
     for (;;) {
-      if (keys[h] == ~0ULL) {
-        if (2 * (size + 1) > keys.size()) {
+      if (slots[h].k == EMPTY) {
+        if (2 * (size + 1) > slots.size()) {
           grow();
           return emplace(key, row);
         }
-        keys[h] = key;
-        vals[h] = row;
+        slots[h].k = key;
+        slots[h].v = row;
         ++size;
         return row;
       }
-      if (keys[h] == key) return vals[h];
+      if (slots[h].k == key) return (int32_t)slots[h].v;
       h = (h + 1) & mask;
     }
   }
@@ -193,10 +196,17 @@ struct CoordMap {
     if (mask == 0) return -1;
     uint64_t h = splitmix64(key) & mask;
     for (;;) {
-      if (keys[h] == ~0ULL) return -1;
-      if (keys[h] == key) return vals[h];
+      const Slot& s = slots[h];
+      if (s.k == key) return (int32_t)s.v;
+      if (s.k == EMPTY) return -1;
       h = (h + 1) & mask;
     }
+  }
+  // hint the slot line into cache ahead of a find() — the hot loops batch
+  // their 8/27 independent probes as prefetch-all-then-probe so the misses
+  // overlap instead of serializing
+  void prefetch(uint64_t key) const {
+    if (mask) __builtin_prefetch(&slots[splitmix64(key) & mask], 0, 1);
   }
   int32_t lookup(const int32_t* c) const { return find(pack_coord(c)); }
   int32_t lookup3(int32_t x, int32_t y, int32_t z) const {
@@ -204,6 +214,11 @@ struct CoordMap {
     return lookup(c);
   }
 };
+
+inline uint64_t pack3(int32_t x, int32_t y, int32_t z) {
+  int32_t c[3] = {x, y, z};
+  return pack_coord(c);
+}
 
 }  // namespace
 
@@ -277,13 +292,25 @@ void build_plumbing_host(
     std::memset(coords[L], 0, sizeof(int32_t) * (size_t)caps[L] * 3);
     std::memset(vmask[L], 0, (size_t)caps[L]);
   }
+  // precompute packed keys once so the dedup loop can prefetch ahead of
+  // itself (each find() is otherwise a serialized cache-miss chain)
+  std::vector<uint64_t> pkeys((size_t)P, CoordMap::EMPTY);
   for (int64_t i = 0; i < P; ++i) {
+    if (!pmask[i]) continue;
+    pkeys[i] = pack3((int32_t)std::floor(pcoords[3 * i]),
+                     (int32_t)std::floor(pcoords[3 * i + 1]),
+                     (int32_t)std::floor(pcoords[3 * i + 2]));
+  }
+  constexpr int64_t PF = 8;  // prefetch distance
+  for (int64_t i = 0; i < P; ++i) {
+    if (i + PF < P && pkeys[i + PF] != CoordMap::EMPTY)
+      maps[0].prefetch(pkeys[i + PF]);
     p2v[0][i] = -1;
     if (!pmask[i]) continue;
     int32_t c[3] = {(int32_t)std::floor(pcoords[3 * i]),
                     (int32_t)std::floor(pcoords[3 * i + 1]),
                     (int32_t)std::floor(pcoords[3 * i + 2])};
-    uint64_t key = pack_coord(c);
+    uint64_t key = pkeys[i];
     int32_t row = maps[0].find(key);
     if (row < 0) {
       if (nuniq[0] >= cap0) continue;  // overflow -> drop
@@ -377,28 +404,38 @@ void build_plumbing_host(
     }
   }
 
-  // ---- conv rulebooks ----
+  // ---- conv rulebooks (prefetch all 27/8 independent probes, then find,
+  //      so the random-access misses overlap instead of serializing) ----
   for (int L = 0; L < n_levels; ++L) {
     const int s = 1 << L;
+    const int sf = 1 << (L > 0 ? L - 1 : 0);
+    uint64_t k27[27], k8[8];
     for (int64_t v = 0; v < caps[L]; ++v) {
       const bool ok = v < nuniq[L];
+      if (!ok) {
+        for (int k = 0; k < 27; ++k) nbr27[L][(size_t)k * caps[L] + v] = -1;
+        if (L >= 1)
+          for (int k = 0; k < 8; ++k) down8[L][(size_t)k * caps[L] + v] = -1;
+        continue;
+      }
       const int32_t* c = &coords[L][3 * v];
       for (int k = 0; k < 27; ++k) {
-        nbr27[L][(size_t)k * caps[L] + v] =
-            ok ? maps[L].lookup3(c[0] + off3[k][0] * s, c[1] + off3[k][1] * s,
-                                 c[2] + off3[k][2] * s)
-               : -1;
+        k27[k] = pack3(c[0] + off3[k][0] * s, c[1] + off3[k][1] * s,
+                       c[2] + off3[k][2] * s);
+        maps[L].prefetch(k27[k]);
       }
       if (L >= 1) {
-        const int sf = 1 << (L - 1);
         for (int k = 0; k < 8; ++k) {
-          down8[L][(size_t)k * caps[L] + v] =
-              ok ? maps[L - 1].lookup3(c[0] + off2[k][0] * sf,
-                                       c[1] + off2[k][1] * sf,
-                                       c[2] + off2[k][2] * sf)
-                 : -1;
+          k8[k] = pack3(c[0] + off2[k][0] * sf, c[1] + off2[k][1] * sf,
+                        c[2] + off2[k][2] * sf);
+          maps[L - 1].prefetch(k8[k]);
         }
       }
+      for (int k = 0; k < 27; ++k)
+        nbr27[L][(size_t)k * caps[L] + v] = maps[L].find(k27[k]);
+      if (L >= 1)
+        for (int k = 0; k < 8; ++k)
+          down8[L][(size_t)k * caps[L] + v] = maps[L - 1].find(k8[k]);
     }
   }
 
@@ -419,15 +456,18 @@ void build_plumbing_host(
       int32_t base[3] = {(int32_t)std::floor(px / s) * s,
                          (int32_t)std::floor(py / s) * s,
                          (int32_t)std::floor(pz / s) * s};
-      if (L > 0) p2v[L][i] = maps[L].lookup(base);
       float fx = px / s - std::floor(px / s);
       float fy = py / s - std::floor(py / s);
       float fz = pz / s - std::floor(pz / s);
+      uint64_t kq[8];
+      for (int k = 0; k < 8; ++k) {
+        kq[k] = pack3(base[0] + off2[k][0] * s, base[1] + off2[k][1] * s,
+                      base[2] + off2[k][2] * s);
+        maps[L].prefetch(kq[k]);
+      }
       float wsum = 0.f;
       for (int k = 0; k < 8; ++k) {
-        int32_t q[3] = {base[0] + off2[k][0] * s, base[1] + off2[k][1] * s,
-                        base[2] + off2[k][2] * s};
-        int32_t row = maps[L].lookup(q);
+        int32_t row = maps[L].find(kq[k]);
         float w = (off2[k][0] ? fx : 1 - fx) * (off2[k][1] ? fy : 1 - fy) *
                   (off2[k][2] ? fz : 1 - fz);
         dvi[L][8 * i + k] = row;
@@ -435,6 +475,8 @@ void build_plumbing_host(
         dvw[L][8 * i + k] = wv;
         wsum += wv;
       }
+      // off2[0] == (0,0,0): the k=0 probe IS the p2v row — no extra lookup
+      if (L > 0) p2v[L][i] = dvi[L][8 * i];
       const float inv = 1.f / (wsum + 1e-8f);
       for (int k = 0; k < 8; ++k) dvw[L][8 * i + k] *= inv;
     }

@@ -20,13 +20,50 @@ from u2mkd_tpu.data import native
 from u2mkd_tpu.ops import spconv as _spconv
 
 
+_KEYS = ("coords", "vmask", "nums", "nbr27", "down8", "parent", "koff",
+         "voxxyz", "p2v", "dvi", "dvw")
+
+
+def _alloc_sample(p: int, capacities: Sequence[int],
+                  lead: tuple = ()) -> Dict[str, list]:
+    """Plumbing output buffers, one array per (key, level), with an optional
+    leading batch axis so per-sample builds can write straight into the
+    batch-major tensors the jitted step consumes (no stack/copy)."""
+    return dict(
+        coords=[np.zeros(lead + (c, 3), np.int32) for c in capacities],
+        vmask=[np.zeros(lead + (c,), np.uint8) for c in capacities],
+        nums=[np.zeros(lead + (1,), np.int32) for _ in capacities],
+        nbr27=[np.zeros(lead + (27, c), np.int32) for c in capacities],
+        down8=[np.zeros(lead + (8, c), np.int32) for c in capacities],
+        parent=[np.zeros(lead + (c,), np.int32) for c in capacities],
+        koff=[np.zeros(lead + (c,), np.int32) for c in capacities],
+        voxxyz=[np.zeros(lead + (c, 3), np.float32) for c in capacities],
+        p2v=[np.zeros(lead + (p,), np.int32) for _ in capacities],
+        dvi=[np.zeros(lead + (p, 8), np.int32) for _ in capacities],
+        dvw=[np.zeros(lead + (p, 8), np.float32) for _ in capacities],
+    )
+
+
 def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
-                          pmask: np.ndarray,
-                          capacities: Sequence[int]) -> Dict[str, list]:
-    """Per-sample host plumbing. Returns dict of per-level array lists."""
+                          pmask: np.ndarray, capacities: Sequence[int],
+                          into: Dict[str, list] = None) -> Dict[str, list]:
+    """Per-sample host plumbing. Returns dict of per-level array lists.
+
+    ``into`` (optional) supplies the output buffers — per-level C-contiguous
+    views into batch-major arrays (``_alloc_sample(..., lead=(B,))[k][li][i]``)
+    — so ``batch_plumbing`` never stacks: at P=131k the np.stack copies cost
+    ~45ms/sample (~100MB of index arrays re-copied once per sample, growing
+    with B; PERF.md round 4).
+    """
     lib = native._load()
     if lib is None or not hasattr(lib, "build_plumbing_host"):
-        return _numpy_build(pcoords, pxyz, pmask, capacities)
+        out = _numpy_build(pcoords, pxyz, pmask, capacities)
+        if into is not None:
+            for k in _KEYS:
+                for dst, src in zip(into[k], out[k]):
+                    np.copyto(dst, src)
+            return into
+        return out
     n_levels = len(capacities)
     p = len(pcoords)
     caps = np.asarray(capacities, np.int64)
@@ -34,17 +71,12 @@ def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
     px = np.ascontiguousarray(pxyz, np.float32)
     pm = np.ascontiguousarray(pmask, np.uint8)
 
-    coords = [np.zeros((c, 3), np.int32) for c in capacities]
-    vmask = [np.zeros(c, np.uint8) for c in capacities]
-    nums = [np.zeros(1, np.int32) for _ in capacities]
-    nbr27 = [np.zeros((27, c), np.int32) for c in capacities]
-    down8 = [np.zeros((8, c), np.int32) for c in capacities]
-    parent = [np.zeros(c, np.int32) for c in capacities]
-    koff = [np.zeros(c, np.int32) for c in capacities]
-    voxxyz = [np.zeros((c, 3), np.float32) for c in capacities]
-    p2v = [np.zeros(p, np.int32) for _ in capacities]
-    dvi = [np.zeros((p, 8), np.int32) for _ in capacities]
-    dvw = [np.zeros((p, 8), np.float32) for _ in capacities]
+    buf = into if into is not None else _alloc_sample(p, capacities)
+    for k in _KEYS:
+        for a in buf[k]:
+            assert a.flags.c_contiguous, (k, a.shape)
+    (coords, vmask, nums, nbr27, down8, parent, koff, voxxyz, p2v, dvi,
+     dvw) = (buf[k] for k in _KEYS)
 
     def ptrs(arrs, ct):
         t = ctypes.POINTER(ct) * len(arrs)
@@ -64,9 +96,7 @@ def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
         ptrs(p2v, ctypes.c_int32), ptrs(dvi, ctypes.c_int32),
         ptrs(dvw, ctypes.c_float),
     )
-    return dict(coords=coords, vmask=vmask, nums=nums, nbr27=nbr27,
-                down8=down8, parent=parent, koff=koff, voxxyz=voxxyz,
-                p2v=p2v, dvi=dvi, dvw=dvw)
+    return buf
 
 
 def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
@@ -82,6 +112,16 @@ def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
     so they shard over the data mesh axis like every other batch leaf).
     """
     b = len(pcoords)
+    # batch-major output buffers up front; each per-sample build writes
+    # straight into its [i] slice (C-contiguous view), so no np.stack copy
+    # ever happens (~45ms and ~100MB of re-copying per sample at P=131k)
+    out = _alloc_sample(pcoords.shape[1], capacities, lead=(b,))
+
+    def _build(i):
+        build_plumbing_arrays(
+            pcoords[i], pxyz[i], pmask[i], capacities,
+            into={k: [lv[i] for lv in out[k]] for k in _KEYS})
+
     # per-sample builds are independent; the native builder releases the
     # GIL, so a thread pool spreads a B>1 (data-parallel) batch across
     # host cores. Serial when B==1 or on 1-core hosts (pool overhead).
@@ -94,19 +134,10 @@ def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            per = list(ex.map(
-                lambda i: build_plumbing_arrays(pcoords[i], pxyz[i],
-                                                pmask[i], capacities),
-                range(b)))
+            list(ex.map(_build, range(b)))
     else:
-        per = [
-            build_plumbing_arrays(pcoords[i], pxyz[i], pmask[i], capacities)
-            for i in range(b)
-        ]
-    out = {
-        k: [np.stack([s[k][li] for s in per]) for li in range(len(capacities))]
-        for k in per[0]
-    }
+        for i in range(b):
+            _build(i)
     if wgeom_params is not None:
         from u2mkd_tpu.data import wgeom_host
 

@@ -1,16 +1,41 @@
 """Benchmark suite: production-scale throughput table on the local device.
 
 Default (no args): runs the full row table — each row in its OWN subprocess
-(the sandbox tunnel permanently serializes a process after its first
-device-to-host read, PERF.md round 3, so rows must not share a process) —
-and prints ONE JSON line whose headline is the FULL-CAPACITY teacher row
-(VERDICT r3 next #2) with the complete table in ``rows`` and the pinned
-timing protocol in ``protocol``.
+(the sandbox tunnel's execution regime is a permanent per-process state,
+see below, so rows must not share a process) — writes the full table into
+``RESULTS.md`` + ``BENCH_LOCAL.json``, and prints a COMPACT one-line JSON
+summary as the FINAL stdout line (VERDICT r4 weak #3: the driver artifact
+keeps only the last ~4 KB of stdout, so the parseable line must be small
+and last, and the full evidence must land in tracked files).
+
+Timing regimes (round-5 correction; VERDICT r4 weak #4):
+The axon tunnel runs in one of two per-process regimes:
+  pipelined  before any device-to-host read, dispatch is asynchronous AND
+             ``block_until_ready`` on queued work returns WITHOUT waiting
+             (measured: a 4096^3 bf16 matmul "completes" at 2630 TF/s on a
+             197 TF/s chip). Rounds 1-4 timed all rows here ("fetch-free"
+             protocol) — those step times are dispatch-rate numbers, which
+             is why eval rows reported mfu_floor > 1.
+  sync       after ONE scalar D2H read the process permanently serializes:
+             ``block_until_ready`` becomes a true barrier (verified: a
+             single-dispatch 100-chained-matmul program times at 142 TF/s
+             = 72% MFU, physically sane). The same regime adds per-step
+             tunnel staging overhead for donated state, so sync time is an
+             UPPER bound on true chip step time.
+Round 5 protocol: flip to sync immediately after compile (the flip costs
+~1 s with one step outstanding; after a 30-step backlog it cost 163 s),
+then time min-of-windows chained steps. MFU from sync time is a lower
+bound and must satisfy mfu_floor <= 1 — enforced, a violating row FAILS
+rather than ships (VERDICT r4 next #4). The ``teacher_8k`` row also gets a
+``--regime=pipelined`` twin subprocess for continuity with the r1-r4
+numbers and the recorded BENCH_BASELINE.json (same regime both sides).
 
 Row modes (also usable directly):
   --row=NAME            one table row, prints the row JSON
   --student / --e2e / --infer / (default teacher)   legacy single-row modes
   --points= --batch= --cap0= --cr= --voxel= --tpoints= --cams= ...
+  --regime=pipelined    old fetch-free protocol (continuity only; MFU
+                        fields suppressed — unreliable in this regime)
 
 MFU reporting (VERDICT r3 weak #1): three numbers per device row —
   mfu_floor  XLA cost-analysis FLOPs only (pallas custom calls invisible),
@@ -34,12 +59,16 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 # pinned measurement protocol (VERDICT r3 weak #2: cross-run variance on the
 # tunnel is large; the protocol ships inside the BENCH artifact itself)
-PROTOCOL = {"windows": 3, "iters": 10, "estimator": "min-of-windows",
-            "fetch_free": True,
-            "note": "loss/mfu read after the timed windows; identical "
-                    "programs vary up to ~40% run-to-run through the "
-                    "sandbox TPU tunnel, so deltas under ~1.3x between "
-                    "rounds are noise"}
+PROTOCOL = {"windows": 3, "iters": "adaptive (10 / 5 / 3 by step size)",
+            "estimator": "min-of-windows", "regime": "sync",
+            "note": "process flipped to the sync regime (one scalar D2H "
+                    "read) right after compile; block_until_ready is then "
+                    "a true barrier. Sync step time includes tunnel "
+                    "staging overhead -> it upper-bounds true chip time "
+                    "and lower-bounds MFU. Rounds 1-4 used the pipelined "
+                    "(fetch-free) regime whose times are dispatch-rate "
+                    "numbers; the teacher_8k_pipelined row keeps that "
+                    "protocol for cross-round continuity."}
 
 # The full table (VERDICT r3 next #2): full-capacity teacher (headline),
 # paper-width cr_t=2.0 teacher at 0.05 m geometry, continuity row at 8k,
@@ -50,6 +79,10 @@ ROWS = {
     "teacher_crt2_full": ["--points=131072", "--cap0=131072", "--batch=1",
                           "--cr=2.0", "--voxel=0.05"],
     "teacher_8k": ["--points=8192", "--batch=2"],
+    # r1-r4-protocol twin of teacher_8k: same program, fetch-free regime —
+    # the ONLY row comparable to the recorded BENCH_BASELINE.json value
+    "teacher_8k_pipelined": ["--points=8192", "--batch=2",
+                             "--regime=pipelined"],
     "infer_full": ["--infer", "--points=131072", "--cap0=131072",
                    "--batch=1"],
     "infer_8k": ["--infer", "--points=8192", "--batch=2"],
@@ -60,8 +93,9 @@ ROWS = {
     "e2e_full": ["--e2e", "--points=131072", "--batch=1", "--batches=10",
                  "--workers=4"],
 }
-ROW_ORDER = ["teacher_full", "teacher_8k", "teacher_crt2_full", "infer_full",
-             "infer_8k", "student_tsd", "student_tsd_eval6", "e2e_full"]
+ROW_ORDER = ["teacher_full", "teacher_8k", "teacher_8k_pipelined",
+             "teacher_crt2_full", "infer_full", "infer_8k", "student_tsd",
+             "student_tsd_eval6", "e2e_full"]
 HEADLINE = "teacher_full"
 
 
@@ -113,53 +147,97 @@ def xla_cost_flops(jitted, args):
 
 
 def mfu_triple(jitted, args, step_seconds, platform, model=None, pl=None,
-               train=True):
+               train=True, xla_override=None, contribs=None):
     """(mfu_floor, mfu_true, mfu_bound, device_kind) — see module
-    docstring. All None on CPU/unknown chips or when cost analysis fails."""
+    docstring. All None on CPU/unknown chips or when cost analysis fails.
+    ``xla_override``: precomputed XLA FLOPs (the split step sums two
+    programs). ``contribs``: list of (model, plumbing, train) pallas
+    attention contributions (the TSD rows sum student + teacher)."""
     peak, kind = (None, "cpu") if platform == "cpu" else device_peak_flops()
     if peak is None:
         return None, None, None, kind
-    xla = xla_cost_flops(jitted, args)
+    xla = xla_override if xla_override is not None \
+        else xla_cost_flops(jitted, args)
     if xla is None:
         return None, None, None, kind
+    if contribs is None:
+        contribs = [(model, pl, train)] if model is not None else []
     useful = bound = 0.0
-    if model is not None and pl is not None and pl.get("wgeom") is not None:
+    for m, p, tr in contribs:
+        if m is None or p is None or p.get("wgeom") is None:
+            continue
         from u2mkd_tpu.utils.flops import (
             flash_attention_flops, flash_attention_useful_flops,
         )
 
-        useful = flash_attention_useful_flops(model, pl, train=train)
-        bound = flash_attention_flops(model, pl, train=train)
+        useful += flash_attention_useful_flops(m, p, train=tr)
+        bound += flash_attention_flops(m, p, train=tr)
     denom = step_seconds * peak
     return xla / denom, (xla + useful) / denom, (xla + bound) / denom, kind
 
 
+def _regime() -> str:
+    return "pipelined" if _arg("regime") == "pipelined" else "sync"
+
+
 def _mfu_fields(floor, true, bound, kind):
-    if true is None:
+    if true is None or _regime() == "pipelined":
+        # pipelined times are dispatch-rate numbers -> MFU from them is
+        # meaningless; suppress instead of shipping impossible figures
         return {}
-    out = {"mfu": round(true, 4), "mfu_floor": round(floor, 4),
-           "mfu_bound": round(bound, 4), "mfu_peak_of": kind}
-    if floor > 1.0:
-        # physically impossible -> the backend's cost analysis overcounted
-        # (observed on the axon PJRT plugin for eval graphs, where the
-        # reported HLO flops appear to predate fusion/DCE); flag rather
-        # than publish an impossible utilization as fact
-        out["mfu_note"] = ("cost-analysis overcount (mfu_floor > 1 is "
-                           "impossible); treat MFU fields as unreliable "
-                           "for this row")
-    return out
+    if floor > 1.0 + 1e-6:
+        # Enforced invariant (VERDICT r4 next #4): the XLA cost-analysis
+        # FLOPs are exact (verified against a known matmul, ratio 1.000),
+        # so floor > 1 can only mean the measured time is not a true
+        # barrier -> the row must fail loudly, never ship.
+        raise RuntimeError(
+            f"mfu_floor={floor:.3f} > 1 is physically impossible: the "
+            f"timing regime is not synchronous (sync flip missing or "
+            f"ineffective); refusing to report this row"
+        )
+    return {"mfu": round(true, 4), "mfu_floor": round(floor, 4),
+            "mfu_bound": round(bound, 4), "mfu_peak_of": kind}
 
 
-def _timing_windows(run_once, quick=False):
-    """min-of-k fetch-free protocol; returns seconds/iter."""
-    iters = 3 if quick else PROTOCOL["iters"]
+def _sync_flip(x) -> float:
+    """Enter the tunnel's synchronous regime with ONE scalar D2H read
+    (permanent for this process). Returns the flip cost in seconds. Cheap
+    (~1 s) when at most one step is outstanding — call right after the
+    compile/warmup step. No-op under --regime=pipelined."""
+    if _regime() == "pipelined":
+        return 0.0
+    import jax
+
+    t0 = time.time()
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(np.asarray(leaf).reshape(-1)[0])
+    return time.time() - t0
+
+
+def _pick_iters(est_seconds: float, quick: bool) -> int:
+    if quick:
+        return 3
+    if est_seconds < 0.3:
+        return 10
+    if est_seconds < 2.0:
+        return 5
+    return 3
+
+
+def _timing_windows(run_once, quick=False, est=0.0):
+    """min-of-k protocol; returns (seconds/iter, iters-per-window).
+
+    In the sync regime (default) ``run_once``'s trailing
+    ``block_until_ready`` is a true barrier, so wall/iters is honest. In
+    --regime=pipelined this reproduces the r1-r4 fetch-free protocol."""
+    iters = _pick_iters(est, quick)
     windows = 1 if quick else PROTOCOL["windows"]
     dt = float("inf")
     for _ in range(windows):
         t0 = time.time()
         run_once(iters)
         dt = min(dt, (time.time() - t0) / iters)
-    return dt
+    return dt, iters
 
 
 def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
@@ -202,6 +280,11 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
         out = fn(st, batch)
         jax.block_until_ready(out["pred"])
         compile_s = time.time() - t0
+        flip_s = _sync_flip(out["pred"])
+        t0 = time.time()
+        out = fn(st, batch)
+        jax.block_until_ready(out["pred"])
+        est = time.time() - t0
 
         def run(iters):
             out = None
@@ -209,7 +292,7 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
                 out = fn(st, batch)
             jax.block_until_ready(out["pred"])
 
-        dt = _timing_windows(run, quick)
+        dt, iters = _timing_windows(run, quick, est)
         fl, tr, bd, kind = mfu_triple(fn, (st, batch), dt, platform,
                                       model=model, pl=pl, train=False)
         loss = None
@@ -220,7 +303,13 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
         st, out = fn(st, batch, jax.random.PRNGKey(1))
         jax.block_until_ready(out["loss"])
         compile_s = time.time() - t0
+        flip_s = _sync_flip(out["loss"])
         state = {"st": st, "out": out}
+        t0 = time.time()
+        state["st"], state["out"] = fn(state["st"], batch,
+                                       jax.random.PRNGKey(1))
+        jax.block_until_ready(state["out"]["loss"])
+        est = time.time() - t0
 
         def run(iters):
             for i in range(iters):
@@ -228,16 +317,19 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
                                                jax.random.PRNGKey(2 + i))
             jax.block_until_ready(state["out"]["loss"])
 
-        dt = _timing_windows(run, quick)
+        dt, iters = _timing_windows(run, quick, est)
         fl, tr, bd, kind = mfu_triple(fn, (st, batch, jax.random.PRNGKey(1)),
                                       dt, platform, model=model, pl=pl,
                                       train=True)
-        loss = float(state["out"]["loss"])  # D2H AFTER all timing
+        loss = float(state["out"]["loss"])  # cheap in the sync regime
     row = {
         "name": ("infer" if infer else "teacher") + f"_{num_points}",
         "scans_per_sec": round(batch_size / dt, 3),
         "step_ms": round(dt * 1e3, 3),
         "compile_s": round(compile_s, 1),
+        "sync_flip_s": round(flip_s, 1),
+        "iters": iters,
+        "regime": _regime(),
         "host_plumb_ms": round(host_ms, 1),
         "config": {"P": num_points, "B": batch_size, "cap0": cap0, "cr": cr,
                    "voxel": voxel, "platform": platform,
@@ -251,7 +343,7 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
 
 def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                   im_hw=(360, 640), pallas=True, remat=False,
-                  eval_step=False, quick=False):
+                  eval_step=False, quick=False, split=False):
     """Stage-2 TSD row: full distillation train step (student LiDAR+cams +
     frozen cr_t=2.0 multisweep teacher + 5 losses), or the student eval
     step (eval_step=True; 6 cams = the reference's val protocol)."""
@@ -284,7 +376,13 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
 
         wp = wgeom_host.params_from_model(model)
     pls = {}
-    for key, caps in (("student", s_caps), ("teacher", t_caps)):
+    # host_ms = the recurring per-batch host cost of this mode. Student-only
+    # eval never runs the teacher, so its (dominant, Pt=131k) plumbing is
+    # NOT part of the timed cost (VERDICT r4 next #5) — it is still built
+    # below, untimed, because state init runs the full wrapper once.
+    feeds = (("student", s_caps),) if eval_step else \
+        (("student", s_caps), ("teacher", t_caps))
+    for key, caps in feeds:
         pls[key] = plumbing_host.batch_plumbing(
             raw[key]["pcoords"], raw[key]["xyz"], raw[key]["pmask"], caps,
             wgeom_params=wp,
@@ -292,6 +390,12 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
         batch[key]["plumbing"] = jax.tree_util.tree_map(jnp.asarray,
                                                         pls[key])
     host_ms = (time.time() - t0) * 1e3
+    if eval_step:
+        # init-only scaffolding, excluded from the per-batch host cost
+        batch["teacher"]["plumbing"] = jax.tree_util.tree_map(
+            jnp.asarray, plumbing_host.batch_plumbing(
+                raw["teacher"]["pcoords"], raw["teacher"]["xyz"],
+                raw["teacher"]["pmask"], t_caps, wgeom_params=wp))
     tx = distill.make_frozen_teacher_optimizer(
         optim.make_optimizer("sgd_spformer", 0.02)
     )
@@ -306,6 +410,11 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
         out = fn(st, batch)
         jax.block_until_ready(out["counts_vox"])
         compile_s = time.time() - t0
+        flip_s = _sync_flip(out["counts_vox"])
+        t0 = time.time()
+        out = fn(st, batch)
+        jax.block_until_ready(out["counts_vox"])
+        est = time.time() - t0
 
         def run(iters):
             out = None
@@ -313,17 +422,29 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                 out = fn(st, batch)
             jax.block_until_ready(out["counts_vox"])
 
-        dt = _timing_windows(run, quick)
-        fl, tr, bd, kind = mfu_triple(fn, (st, batch), dt, platform)
+        dt, iters = _timing_windows(run, quick, est)
+        fl, tr, bd, kind = mfu_triple(
+            fn, (st, batch), dt, platform,
+            contribs=[(model.make_student(), pls.get("student"), False)])
         loss = None
     else:
-        fn = jax.jit(distill.make_distill_train_step(model, tx, s_caps,
-                                                     t_caps, remat=remat))
+        if split:
+            fn = distill.make_distill_split_steps(model, tx, s_caps, t_caps,
+                                                  remat=remat)
+        else:
+            fn = jax.jit(distill.make_distill_train_step(model, tx, s_caps,
+                                                         t_caps, remat=remat))
         t0 = time.time()
         st, aux = fn(st, batch, jax.random.PRNGKey(1))
         jax.block_until_ready(aux["loss"])
         compile_s = time.time() - t0
+        flip_s = _sync_flip(aux["loss"])
         state = {"st": st, "aux": aux}
+        t0 = time.time()
+        state["st"], state["aux"] = fn(state["st"], batch,
+                                       jax.random.PRNGKey(1))
+        jax.block_until_ready(state["aux"]["loss"])
+        est = time.time() - t0
 
         def run(iters):
             for i in range(iters):
@@ -331,20 +452,38 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                                                jax.random.PRNGKey(2 + i))
             jax.block_until_ready(state["aux"]["loss"])
 
-        dt = _timing_windows(run, quick)
-        fl, tr, bd, kind = mfu_triple(fn, (st, batch, jax.random.PRNGKey(1)),
-                                      dt, platform)
+        dt, iters = _timing_windows(run, quick, est)
+        contribs = [(model.make_student(), pls.get("student"), True),
+                    (model.make_teacher(), pls.get("teacher"), False)]
+        if split:
+            t2s_out = fn.teacher_fn(st, batch)
+            xla = sum(
+                xla_cost_flops(f, a) or 0.0
+                for f, a in ((fn.teacher_fn, (st, batch)),
+                             (fn.student_fn,
+                              (st, batch, t2s_out, jax.random.PRNGKey(1)))))
+            fl, tr, bd, kind = mfu_triple(None, None, dt, platform,
+                                          xla_override=xla or None,
+                                          contribs=contribs)
+        else:
+            fl, tr, bd, kind = mfu_triple(
+                fn, (st, batch, jax.random.PRNGKey(1)), dt, platform,
+                contribs=contribs)
         loss = float(state["aux"]["loss"])
     row = {
         "name": "student_tsd" + ("_eval" if eval_step else ""),
         "scans_per_sec": round(batch_size / dt, 3),
         "step_ms": round(dt * 1e3, 3),
         "compile_s": round(compile_s, 1),
+        "sync_flip_s": round(flip_s, 1),
+        "iters": iters,
+        "regime": _regime(),
         "host_plumb_ms": round(host_ms, 1),
         "config": {"Ps": s_p, "Pt": t_p, "B": batch_size, "cams": num_cams,
                    "im": list(im_hw), "cr": 1.0, "cr_t": 2.0,
                    "platform": platform,
                    "mode": "eval" if eval_step else "train",
+                   **({"split": True} if split else {}),
                    "precision": "bf16" if platform != "cpu" else "f32"},
         **({"loss": round(loss, 4)} if loss is not None else {}),
         **_mfu_fields(fl, tr, bd, kind),
@@ -405,6 +544,7 @@ def bench_e2e(num_points, batch_size, n_batches=10, workers=4, cap0=None):
     st, out = step(st, warm, jax.random.PRNGKey(1))
     jax.block_until_ready(out["loss"])
     compile_s = time.time() - t0
+    flip_s = _sync_flip(out["loss"])
 
     host_stage_ms.update(synth=0.0, plumb=0.0, n=0)
     t0 = time.time()
@@ -421,6 +561,8 @@ def bench_e2e(num_points, batch_size, n_batches=10, workers=4, cap0=None):
         "scans_per_sec": round(batch_size / dt, 3),
         "step_ms": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
+        "sync_flip_s": round(flip_s, 1),
+        "regime": _regime(),
         "host_breakdown_ms": {
             "synthetic_gen": round(host_stage_ms["synth"] / n, 1),
             "plumbing_wgeom": round(host_stage_ms["plumb"] / n, 1),
@@ -504,6 +646,7 @@ def run_single_row():
             pallas="--no-pallas" not in sys.argv,
             remat="--remat" in sys.argv,
             eval_step="--student-eval" in sys.argv, quick=quick,
+            split="--split" in sys.argv,
         )
     elif "--e2e" in sys.argv:
         row = bench_e2e(
@@ -601,41 +744,154 @@ def run_table():
     # rather than reporting 0 if the big row failed/was skipped
     head = by_name(HEADLINE)
     k8 = by_name("teacher_8k")
+    k8p = by_name("teacher_8k_pipelined")
     degraded = False
     if head is None and k8 is not None:
         head, degraded = k8, True
+    # vs_baseline: regime-consistent — the pipelined 8k twin against the
+    # round-1 recorded (pipelined-regime) baseline value
     vs = 0.0
     baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
-    if k8 and os.path.exists(baseline_path):
+    base = {}
+    if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        if base.get("value"):
-            vs = k8["scans_per_sec"] / base["value"]
+    if k8p and base.get("value"):
+        vs = k8p["scans_per_sec"] / base["value"]
+    vs_sync = None
+    if k8 and base.get("value_sync"):
+        vs_sync = round(k8["scans_per_sec"] / base["value_sync"], 3)
     if head:
         scale = ("P=8192 x B=2 (FALLBACK: full-capacity row unavailable)"
                  if degraded else "P=131072 FULL multisweep capacity, B=1")
-        unit = (f"scans/sec (teacher train, {scale}, bf16, "
+        unit = (f"scans/sec (teacher train, {scale}, bf16, sync regime, "
                 f"step={head['step_ms']}ms"
                 + (f", mfu={head['mfu'] * 100:.1f}% true "
                    f"[{head['mfu_floor'] * 100:.1f}%..."
                    f"{head['mfu_bound'] * 100:.1f}%]" if "mfu" in head
                    else "")
-                + "; vs_baseline = teacher_8k row over the round-1 first "
-                  "recorded 8k run; full table in rows)")
+                + "; vs_baseline = pipelined 8k twin over the round-1 "
+                  "recorded pipelined 8k run; full table in RESULTS.md + "
+                  "BENCH_LOCAL.json)")
         value = head["scans_per_sec"]
         mfu = head.get("mfu")
     else:
         unit = "scans/sec (FAILED: headline row missing; see rows)"
         value, mfu = 0.0, None
-    print(json.dumps({
+    full = {
         "metric": "teacher_train_full_capacity_scans_per_sec",
         "value": value,
         "unit": unit,
         "vs_baseline": round(vs, 3),
+        **({"vs_baseline_sync": vs_sync} if vs_sync is not None else {}),
         **({"mfu": mfu} if mfu is not None else {}),
         "rows": rows,
         "protocol": PROTOCOL,
+    }
+    # full evidence -> tracked files (VERDICT r4 weak #3 / next #3)
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        _write_results_md(rows, full)
+    except Exception as e:  # noqa: BLE001 — evidence write must not kill the line
+        print(f"[bench] RESULTS.md/BENCH_LOCAL.json write failed: {e}",
+              file=sys.stderr)
+    # compact per-row summary as the FINAL stdout line (< 4 KB so the
+    # driver's tail capture parses it and every row's outcome survives)
+    print(json.dumps({
+        "metric": full["metric"],
+        "value": value,
+        "unit": unit[:200],
+        "vs_baseline": round(vs, 3),
+        **({"vs_baseline_sync": vs_sync} if vs_sync is not None else {}),
+        "rows": [_compact_row(r) for r in rows],
+        "protocol": {"regime": PROTOCOL["regime"],
+                     "estimator": PROTOCOL["estimator"]},
     }))
+
+
+def _compact_row(r):
+    if "scans_per_sec" not in r:
+        key = "failed" if "failed" in r else "skipped"
+        return {"name": r.get("name"), key: str(r.get(key))[-120:]}
+    out = {"name": r.get("name"), "v": r["scans_per_sec"],
+           "ms": r.get("step_ms")}
+    if "mfu" in r:
+        out["mfu"] = r["mfu"]
+    if r.get("regime") == "pipelined":
+        out["regime"] = "pipelined"
+    if "host_plumb_ms" in r and r["host_plumb_ms"] > 100:
+        out["host_ms"] = r["host_plumb_ms"]
+    return out
+
+
+def _markdown_table(rows):
+    lines = [
+        "| row | scans/s | step ms | compile s | host ms | MFU true "
+        "[floor..bound] | loss | notes |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        name = r.get("name", "?")
+        if "scans_per_sec" not in r:
+            why = str(r.get("failed", r.get("skipped", "?")))[-140:]
+            why = why.replace("|", "/").replace("\n", " ")
+            lines.append(f"| {name} | — | — | — | — | — | — | {why} |")
+            continue
+        mfu = (f"{r['mfu']*100:.1f}% [{r['mfu_floor']*100:.1f}.."
+               f"{r['mfu_bound']*100:.1f}]" if "mfu" in r else "—")
+        host = r.get("host_plumb_ms")
+        if host is None and "host_breakdown_ms" in r:
+            host = sum(r["host_breakdown_ms"].values())
+        notes = []
+        if r.get("regime") == "pipelined":
+            notes.append("pipelined regime (r1-r4 continuity)")
+        if "iters" in r:
+            notes.append(f"iters={r['iters']}")
+        lines.append(
+            f"| {name} | {r['scans_per_sec']} | {r.get('step_ms', '—')} | "
+            f"{r.get('compile_s', '—')} | "
+            f"{host if host is not None else '—'} | {mfu} | "
+            f"{r.get('loss', '—')} | {', '.join(notes) or '—'} |"
+        )
+    return "\n".join(lines)
+
+
+RESULTS_BEGIN = "<!-- BENCH_TABLE_BEGIN (written by bench.py) -->"
+RESULTS_END = "<!-- BENCH_TABLE_END -->"
+
+
+def _write_results_md(rows, full):
+    """Write the measured table into RESULTS.md between the marker pair
+    (idempotent; creates the section before '## Historical' if absent)."""
+    import datetime
+
+    path = os.path.join(REPO, "RESULTS.md")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        txt = f.read()
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    block = (
+        f"{RESULTS_BEGIN}\n"
+        f"Measured {stamp} by `python bench.py` (single v5e chip, sync "
+        f"regime unless noted; full JSON: `BENCH_LOCAL.json`). Headline: "
+        f"**{full['value']} scans/s** — {full['unit'][:160]}\n\n"
+        + _markdown_table(rows) + f"\n{RESULTS_END}"
+    )
+    if RESULTS_BEGIN in txt and RESULTS_END in txt:
+        pre = txt.split(RESULTS_BEGIN)[0]
+        post = txt.split(RESULTS_END, 1)[1]
+        txt = pre + block + post
+    else:
+        anchor = "## Historical headline progression"
+        section = f"## Latest measured table\n\n{block}\n\n"
+        if anchor in txt:
+            txt = txt.replace(anchor, section + anchor, 1)
+        else:
+            txt = txt + "\n" + section
+    with open(path, "w") as f:
+        f.write(txt)
 
 
 def main():

@@ -139,8 +139,23 @@ def _student_eval(args, cfg):
     sample = next(_it)
     if hasattr(_it, "close"):
         _it.close()
+    tb = sample["teacher"]
+    if "plumbing" not in tb:
+        # the val loader skips the (unused) teacher plumbing since round 5
+        # (loaders.make_distill_loaders) — state init still runs the full
+        # wrapper once, so build it here for this one sample
+        import numpy as np
+
+        from u2mkd_tpu.data import loaders as _ld, plumbing_host
+
+        tb = dict(tb)
+        tb["plumbing"] = jax.tree_util.tree_map(
+            jax.numpy.asarray, plumbing_host.batch_plumbing(
+                np.asarray(tb["pcoords"]), np.asarray(tb["xyz"]),
+                np.asarray(tb["pmask"]), t_caps,
+                wgeom_params=_ld._wgeom_params(cfg), n_shards=1))
     st = distill.create_distill_state(
-        model, tx, sample["student"], sample["teacher"], s_caps, t_caps,
+        model, tx, sample["student"], tb, s_caps, t_caps,
         jax.random.PRNGKey(0),
     )
     st = ocp.StandardCheckpointer().restore(

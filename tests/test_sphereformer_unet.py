@@ -79,3 +79,42 @@ def test_unet_forward(rng):
         var["params"],
     )
     assert any("unet/u/u/u/u/transformer_block" in k for k in keys)
+
+
+@pytest.mark.slow
+def test_unet_vgg_block_option(rng):
+    """``block_type='vgg'``: the reference's ``UBlock(block=VGGBlock)``
+    option (``unet_spherical_transformer.py:70-81,108``) — norm-relu-conv
+    only. The forward runs, and the param tree has the VGG shape (single
+    conv per block, no bn2/conv2/i_branch)."""
+    b, p = 1, 250
+    xyz = (rng.rand(b, p, 3) * 8 - 4).astype(np.float32)
+    pcoords = xyz / 0.5
+    feats = np.concatenate([xyz, rng.rand(b, p, 1).astype(np.float32)], -1)
+    mask = np.ones((b, p), bool)
+    pl = P.build_plumbing(jnp.asarray(pcoords), jnp.asarray(xyz),
+                          jnp.asarray(mask), CAPS)
+    model = SphereFormerSemantic(
+        num_classes=5, n_planes=(8, 16, 32, 32, 32), head_dim=4,
+        window_size=(1.0, 1.0, 1.0), quant_size=(1 / 8, 1 / 8, 1 / 8),
+        window_size_sphere=(30.0, 30.0, 120.0),
+        quant_size_sphere=(30 / 8, 30 / 8, 5.0),
+        block_type="vgg",
+    )
+    var = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), pl, False,
+    )
+    out = model.apply(var, jnp.asarray(feats), pl, False)
+    x = np.asarray(out["x_vox"])
+    assert x.shape == (1, 250, 5)
+    assert np.isfinite(x).all()
+    keys = set()
+    jax.tree_util.tree_map_with_path(
+        lambda path, _: keys.add("/".join(str(p.key) for p in path
+                                          if hasattr(p, "key"))),
+        var["params"],
+    )
+    assert any("unet/block0/conv1" in k for k in keys)
+    assert not any("/block0/conv2" in k for k in keys)   # no second conv
+    assert not any("/block0/i_branch" in k for k in keys)  # no residual 1x1

@@ -162,3 +162,45 @@ def test_distill_eval_and_lidar_only(rng):
     x = np.asarray(out["x_vox"])
     assert x.shape == (2, 200, NCLS)
     assert np.isfinite(x).all()
+
+
+@pytest.mark.slow
+def test_split_steps_match_fused(rng):
+    """``make_distill_split_steps`` (teacher fwd jit + student train jit —
+    the compile-limited two-program fallback) must reproduce the fused
+    ``make_distill_train_step`` exactly: the teacher is stop_gradient'ed
+    either way, so splitting at that boundary changes nothing
+    mathematically."""
+    batch = _batch(rng)
+    model = _model()
+    tx = distill.make_frozen_teacher_optimizer(
+        optim.make_optimizer("sgd_spformer", 0.01))
+    st = distill.create_distill_state(
+        model, tx, batch["student"], batch["teacher"], S_CAPS, T_CAPS,
+        jax.random.PRNGKey(0))
+
+    fused = jax.jit(distill.make_distill_train_step(model, tx, S_CAPS, T_CAPS))
+    st_f, aux_f = fused(st, batch, jax.random.PRNGKey(3))
+
+    split = distill.make_distill_split_steps(model, tx, S_CAPS, T_CAPS)
+    st_s, aux_s = split(st, batch, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(aux_s["loss"]), float(aux_f["loss"]),
+                               rtol=1e-5)
+    for k in ("ce_vox", "ce_pix", "kl", "feat", "mse"):
+        np.testing.assert_allclose(float(aux_s[k]), float(aux_f[k]),
+                                   rtol=1e-5, atol=1e-6)
+    # updated student params agree; teacher subtree preserved bit-exact
+    for a, b in zip(jax.tree_util.tree_leaves(st_f.params["model_s"]),
+                    jax.tree_util.tree_leaves(st_s.params["model_s"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(st.params["model_t"]),
+                    jax.tree_util.tree_leaves(st_s.params["model_t"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # batch_stats: student subtree updated, teacher subtree preserved
+    assert "model_t" in st_s.batch_stats
+    for a, b in zip(jax.tree_util.tree_leaves(st_f.batch_stats["model_s"]),
+                    jax.tree_util.tree_leaves(st_s.batch_stats["model_s"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

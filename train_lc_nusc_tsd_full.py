@@ -119,13 +119,11 @@ def main():
             )
             print(f"loaded pretrain (no classifier) from {pretrain}")
         teacher = cfg.get_path("model.teacher_pretrain")
-        if teacher:  # teacher-only
-            st = st.replace(
-                params=ckpt_lib.load_teacher_params(teacher, st.params),
-                batch_stats=ckpt_lib.load_teacher_batch_stats(
-                    teacher, st.batch_stats
-                ),
+        if teacher:  # teacher-only (orbax dir, or reference torch .pt file)
+            t_params, t_stats = ckpt_lib.load_teacher_any(
+                teacher, st.params, st.batch_stats
             )
+            st = st.replace(params=t_params, batch_stats=t_stats)
             print(f"loaded frozen teacher from {teacher}")
 
     ignore = cfg.criterion.ignore_index
@@ -152,6 +150,17 @@ def main():
                                            ignore, axis_name=axis,
                                            run_teacher=debug_val),
             mesh, run_teacher=debug_val,
+        )
+    elif bool(cfg.get_path("train.split_step", False)):
+        # two-program fallback for compile-size-limited backends (teacher
+        # fwd jit + student train jit, mathematically identical — see
+        # distill.make_distill_split_steps). Single-device only.
+        step = distill.make_distill_split_steps(
+            model, tx, s_caps, t_caps, remat=remat, **kw
+        )
+        ev = jax.jit(
+            distill.make_distill_eval_step(model, s_caps, t_caps, ncls,
+                                           ignore, run_teacher=debug_val)
         )
     else:
         step = jax.jit(

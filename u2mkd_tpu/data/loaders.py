@@ -341,18 +341,29 @@ def make_distill_loaders(cfg, seed: int = 0, tta_val: bool = False,
     workers = int(cfg.get_path("workers", 4))
     wproc = bool(cfg.get_path("worker_processes", False))
 
-    def _loader(ds, shuffle):
+    # val host cost (VERDICT r4 next #5): the student-only eval step never
+    # runs the teacher (reference gates teacher-val behind debug.debug_val,
+    # train_lc_nusc_tsd_full.py:96-121), so building the multisweep
+    # teacher's plumbing — the bulk of the per-batch host cost at Pt=131k —
+    # is skipped for the val loader unless debug_val (or TTA eval, whose
+    # consumers pass their own flag) asks for it.
+    val_needs_teacher = bool(cfg.get_path("debug.debug_val", False))
+    val_plumbing = add_plumbing if (val_needs_teacher or not use_host) else \
+        PlumbingStage(None, wparams, n_shards,
+                      tsd_caps={"student": s_caps})
+
+    def _loader(ds, shuffle, stage):
         raw = _epoch_iter(ds, cfg.batch_size, collate_tsd, shuffle, rng,
                           lambda x: x, process_shard=multihost)
-        for b in maybe_pipelined(add_plumbing, raw, workers,
+        for b in maybe_pipelined(stage, raw, workers,
                                  enabled=use_host, use_processes=wproc):
             yield to_device(b)
 
     def train_loader():
-        return _loader(train_ds, True)
+        return _loader(train_ds, True, add_plumbing)
 
     def val_loader():
-        return _loader(val_ds, False)
+        return _loader(val_ds, False, val_plumbing)
 
     depth = int(cfg.get_path("prefetch_depth", 2))
     return prefetched_loader(train_loader, depth), prefetched_loader(val_loader, depth)

@@ -54,6 +54,26 @@ class PreActResBlock(nn.Module):
         return x + ident
 
 
+class VGGBlock(nn.Module):
+    """norm-relu-conv3, no residual (reference ``VGGBlock``,
+    ``unet_spherical_transformer.py:70-81``) — the lighter block option the
+    reference's ``UBlock(block=...)`` parameter selects."""
+
+    out_ch: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, level, train: bool):
+        mask = level.grid.mask
+        x = blocks.MaskedBatchNorm(feats.shape[-1], axis_name=self.axis_name,
+                                   name="bn1")(feats, mask, train)
+        x = nn.relu(x)
+        return blocks.SparseConv(self.out_ch, 3, name="conv1")(x, level.nbr27)
+
+
+_BLOCK_TYPES = {"residual": PreActResBlock, "vgg": VGGBlock}
+
+
 class UBlock(nn.Module):
     """Recursive U level."""
 
@@ -69,6 +89,7 @@ class UBlock(nn.Module):
     drop_path: float = 0.0
     sphere_layers: Sequence[int] = (1, 2, 3, 4, 5)
     a: float = 0.0125
+    block_type: str = "residual"  # reference UBlock(block=ResidualBlock|VGGBlock)
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -82,9 +103,10 @@ class UBlock(nn.Module):
         if vox_xyz is None:
             vox_xyz = plumbing.vox_xyz
         lv = plumbing.levels[self.level_idx]
+        block_cls = _BLOCK_TYPES[self.block_type]
         for i in range(self.block_reps):
-            feats = PreActResBlock(self.n_planes[0], self.axis_name,
-                                   name=f"block{i}")(feats, lv, train)
+            feats = block_cls(self.n_planes[0], self.axis_name,
+                              name=f"block{i}")(feats, lv, train)
         layer_id = self.level_idx + 1
         if layer_id in self.sphere_layers:
             feats = SphereFormerBlock(
@@ -126,7 +148,8 @@ class UBlock(nn.Module):
                 window_size_scale=self.window_size_scale,
                 block_reps=self.block_reps, head_dim=self.head_dim,
                 drop_path=self.drop_path, sphere_layers=self.sphere_layers,
-                a=self.a, axis_name=self.axis_name, name="u",
+                a=self.a, block_type=self.block_type,
+                axis_name=self.axis_name, name="u",
             )(d, plumbing, train, vox_xyz=vox_xyz)
             # up: norm-relu-deconv(ks2/s2) back to this level's coords
             u = blocks.MaskedBatchNorm(child.shape[-1], axis_name=self.axis_name,
@@ -137,8 +160,8 @@ class UBlock(nn.Module):
             )
             feats = jnp.concatenate([feats, u], axis=-1)
             for i in range(self.block_reps):
-                feats = PreActResBlock(self.n_planes[0], self.axis_name,
-                                       name=f"tail{i}")(feats, lv, train)
+                feats = block_cls(self.n_planes[0], self.axis_name,
+                                  name=f"tail{i}")(feats, lv, train)
         return feats
 
 
@@ -157,6 +180,7 @@ class SphereFormerSemantic(nn.Module):
     drop_path_rate: float = 0.3
     sphere_layers: Sequence[int] = (1, 2, 3, 4, 5)
     a: float = 0.0125
+    block_type: str = "residual"
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -183,7 +207,8 @@ class SphereFormerSemantic(nn.Module):
             window_size_scale=self.window_size_scale,
             head_dim=self.head_dim, drop_path=self.drop_path_rate,
             sphere_layers=self.sphere_layers, a=self.a,
-            axis_name=self.axis_name, name="unet",
+            block_type=self.block_type, axis_name=self.axis_name,
+            name="unet",
         )(x, plumbing, train, vox_xyz=vox_xyz)
         x = blocks.MaskedBatchNorm(self.n_planes[0], axis_name=self.axis_name,
                                    name="output_bn")(x, lv0.grid.mask, train)

@@ -42,9 +42,9 @@ class TSDFull(nn.Module):
     pallas_attention: bool = False
     pallas_cubic: bool = True
 
-    def setup(self):
-        teacher_cs4 = int(self.cr_t * 256)
-        common = dict(
+    @nn.nowrap
+    def _common_kwargs(self):
+        return dict(
             num_classes=self.num_classes, axis_name=self.axis_name,
             window_size=self.window_size,
             window_size_sphere=self.window_size_sphere,
@@ -55,14 +55,32 @@ class TSDFull(nn.Module):
             head_dim=self.head_dim, pallas_attention=self.pallas_attention,
             pallas_cubic=self.pallas_cubic,
         )
-        self.model_s = SPVCNNSwiftNetMSP2IFM(
-            cr=self.cr, in_channel=self.in_channel, adapt_out_ch=teacher_cs4,
-            run_pix_decoder=self.run_pix_decoder, **common,
-        )
-        self.model_t = SPVCNN(
+
+    @nn.nowrap
+    def make_teacher(self) -> SPVCNN:
+        """Standalone SPVCNN with the exact ``model_t`` configuration —
+        apply it with ``params["model_t"]`` / ``batch_stats["model_t"]`` to
+        run the frozen teacher as its OWN program (the split distill step,
+        ``train/distill.py:make_distill_split_steps``). Single source with
+        ``setup`` so the two can't drift."""
+        return SPVCNN(
             cr=self.cr_t, in_channel=self.in_channel_t, sphereformer=True,
-            return_point_feats=True, **common,
+            return_point_feats=True, **self._common_kwargs(),
         )
+
+    @nn.nowrap
+    def make_student(self) -> SPVCNNSwiftNetMSP2IFM:
+        """Standalone student with the exact ``model_s`` configuration
+        (used for FLOP accounting and student-only program construction)."""
+        return SPVCNNSwiftNetMSP2IFM(
+            cr=self.cr, in_channel=self.in_channel,
+            adapt_out_ch=int(self.cr_t * 256),
+            run_pix_decoder=self.run_pix_decoder, **self._common_kwargs(),
+        )
+
+    def setup(self):
+        self.model_s = self.make_student()
+        self.model_t = self.make_teacher()
 
     def __call__(self, student_batch, student_plumbing, teacher_batch,
                  teacher_plumbing, train: bool, run_teacher: bool = True):

@@ -177,6 +177,24 @@ def load_pretrain_batch_stats(path: str, target_stats):
     return out
 
 
+def load_teacher_any(path: str, tsd_params, tsd_batch_stats):
+    """Teacher-only restore dispatch: an orbax checkpoint DIRECTORY (our
+    stage-1 output) or a reference torch ``.pt`` FILE (e.g. the published
+    ``max-iou-val-vox.pt``, ``README.md:95``) — the latter goes through the
+    strict ``convert_weights.load_teacher_pt`` importer. Returns
+    (params, batch_stats)."""
+    p = os.path.abspath(path)
+    if os.path.isfile(p):
+        from u2mkd_tpu.models.convert_weights import load_teacher_pt
+
+        vs = load_teacher_pt(
+            p, {"params": tsd_params, "batch_stats": tsd_batch_stats},
+            scope="model_t")
+        return vs["params"], vs["batch_stats"]
+    return (load_teacher_params(p, tsd_params),
+            load_teacher_batch_stats(p, tsd_batch_stats))
+
+
 def load_teacher_params(teacher_ckpt_dir: str, tsd_params):
     """Teacher-only restore into the TSD wrapper: the stage-1 teacher
     checkpoint's params become ``model_t`` (reference

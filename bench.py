@@ -22,13 +22,21 @@ The axon tunnel runs in one of two per-process regimes:
              = 72% MFU, physically sane). The same regime adds per-step
              tunnel staging overhead for donated state, so sync time is an
              UPPER bound on true chip step time.
-Round 5 protocol: flip to sync immediately after compile (the flip costs
-~1 s with one step outstanding; after a 30-step backlog it cost 163 s),
-then time min-of-windows chained steps. MFU from sync time is a lower
-bound and must satisfy mfu_floor <= 1 — enforced, a violating row FAILS
-rather than ships (VERDICT r4 next #4). The ``teacher_8k`` row also gets a
-``--regime=pipelined`` twin subprocess for continuity with the r1-r4
-numbers and the recorded BENCH_BASELINE.json (same regime both sides).
+Both regimes agree on ONE measurement: a SINGLE in-flight dispatch is
+waited for correctly everywhere (the known-FLOPs probe: one dispatch of a
+100-chained-matmul program times at 142 TF/s fetch-free = physically
+sane). Round-5 headline protocol ("chained") exploits that: compile a
+one-dispatch k-step chain of the train step (k is a TRACED loop bound —
+one compile serves every k) and time dispatches at two chain lengths; the
+SLOPE (t_big - t_small)/(k_big - k_small) is the true per-step chip time
+with the per-dispatch tunnel overhead cancelled exactly. MFU from the
+slope must satisfy mfu_floor <= 1 — enforced, a violating row FAILS
+rather than ships (VERDICT r4 next #4). ``--regime=sync`` keeps the
+upper-bound protocol (one D2H flip, per-step barrier: step time includes
+per-dispatch staging) and ``--regime=pipelined`` keeps the r1-r4
+dispatch-rate protocol for continuity with BENCH_BASELINE.json; true step
+time satisfies pipelined <= chained <= sync, which the teacher_8k twin
+rows document empirically.
 
 Row modes (also usable directly):
   --row=NAME            one table row, prints the row JSON
@@ -60,15 +68,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # pinned measurement protocol (VERDICT r3 weak #2: cross-run variance on the
 # tunnel is large; the protocol ships inside the BENCH artifact itself)
 PROTOCOL = {"windows": 3, "iters": "adaptive (10 / 5 / 3 by step size)",
-            "estimator": "min-of-windows", "regime": "sync",
-            "note": "process flipped to the sync regime (one scalar D2H "
-                    "read) right after compile; block_until_ready is then "
-                    "a true barrier. Sync step time includes tunnel "
-                    "staging overhead -> it upper-bounds true chip time "
-                    "and lower-bounds MFU. Rounds 1-4 used the pipelined "
-                    "(fetch-free) regime whose times are dispatch-rate "
-                    "numbers; the teacher_8k_pipelined row keeps that "
-                    "protocol for cross-round continuity."}
+            "estimator": "min-of-windows slope", "regime": "chained",
+            "note": "chained regime: one-dispatch k-step chain of the "
+                    "step (k a traced loop bound, one compile), timed at "
+                    "two chain lengths; the slope is the true per-step "
+                    "chip time with per-dispatch tunnel overhead "
+                    "cancelled (a single in-flight dispatch is waited "
+                    "for correctly in both tunnel regimes — known-FLOPs "
+                    "probe, PERF.md round 5). --regime=sync keeps the "
+                    "per-step-barrier upper bound; --regime=pipelined "
+                    "keeps the r1-r4 dispatch-rate protocol for "
+                    "continuity. true step: pipelined <= chained <= sync."}
 
 # The full table (VERDICT r3 next #2): full-capacity teacher (headline),
 # paper-width cr_t=2.0 teacher at 0.05 m geometry, continuity row at 8k,
@@ -83,19 +93,29 @@ ROWS = {
     # the ONLY row comparable to the recorded BENCH_BASELINE.json value
     "teacher_8k_pipelined": ["--points=8192", "--batch=2",
                              "--regime=pipelined"],
+    # per-step-barrier twin: upper-bounds true step time (includes the
+    # per-dispatch tunnel staging the chained slope cancels); documents
+    # pipelined <= chained <= sync empirically
+    "teacher_8k_sync": ["--points=8192", "--batch=2", "--regime=sync"],
     "infer_full": ["--infer", "--points=131072", "--cap0=131072",
                    "--batch=1"],
     "infer_8k": ["--infer", "--points=8192", "--batch=2"],
+    # --split: the FUSED stage-2 program (student bwd + cr_t=2.0 multisweep
+    # teacher + 3-cam image branch in one jit) exceeds the sandbox's remote
+    # TPU compile helper at every production scale (HTTP 500; bisect in
+    # COVERAGE.md round-5 notes). The two-program split step is
+    # mathematically identical under stop_gradient (parity test
+    # tests/test_tsd.py::test_split_steps_match_fused).
     "student_tsd": ["--student", "--points=32768", "--tpoints=131072",
-                    "--batch=1", "--cams=3"],
+                    "--batch=1", "--cams=3", "--split"],
     "student_tsd_eval6": ["--student-eval", "--points=32768",
                           "--tpoints=131072", "--batch=1", "--cams=6"],
     "e2e_full": ["--e2e", "--points=131072", "--batch=1", "--batches=10",
                  "--workers=4"],
 }
 ROW_ORDER = ["teacher_full", "teacher_8k", "teacher_8k_pipelined",
-             "teacher_crt2_full", "infer_full", "infer_8k", "student_tsd",
-             "student_tsd_eval6", "e2e_full"]
+             "teacher_8k_sync", "teacher_crt2_full", "infer_full",
+             "infer_8k", "student_tsd", "student_tsd_eval6", "e2e_full"]
 HEADLINE = "teacher_full"
 
 
@@ -177,7 +197,8 @@ def mfu_triple(jitted, args, step_seconds, platform, model=None, pl=None,
 
 
 def _regime() -> str:
-    return "pipelined" if _arg("regime") == "pipelined" else "sync"
+    r = _arg("regime")
+    return r if r in ("pipelined", "sync") else "chained"
 
 
 def _mfu_fields(floor, true, bound, kind):
@@ -212,6 +233,75 @@ def _sync_flip(x) -> float:
     leaf = jax.tree_util.tree_leaves(x)[0]
     float(np.asarray(leaf).reshape(-1)[0])
     return time.time() - t0
+
+
+def _chain_train(fn):
+    """jit of ``(state, batch, rng, k) -> (state, aux)``: k steps of the
+    (unjitted) step ``fn`` in ONE dispatch. ``k`` is a traced loop bound —
+    the while loop has a dynamic trip count, so one compile serves every
+    chain length."""
+    import jax
+
+    def chained(state, batch, rng, k):
+        def body(i, carry):
+            st, _ = carry
+            return fn(st, batch, jax.random.fold_in(rng, i))
+
+        first = fn(state, batch, jax.random.fold_in(rng, 0))
+        return jax.lax.fori_loop(1, k, body, first)
+
+    return jax.jit(chained)
+
+
+def _chain_eval(fn, apply_eps, probe):
+    """jit of ``(state, batch, k) -> out``: k evals of ``fn`` in ONE
+    dispatch. The eval step has no state threading, so each iteration
+    feeds a runtime-computed epsilon (``probe(prev_out) * 1e-30``, exactly
+    neutral numerically) back into the input via ``apply_eps`` — a data
+    dependence XLA cannot hoist, preventing loop-invariant code motion
+    from collapsing the chain to one eval."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(state, batch, k):
+        def body(i, carry):
+            eps, _ = carry
+            out = fn(state, apply_eps(batch, eps))
+            return (probe(out).astype(jnp.float32) * 1e-30, out)
+
+        out0 = fn(state, batch)
+        _, out = jax.lax.fori_loop(
+            1, k, body, (probe(out0).astype(jnp.float32) * 1e-30, out0)
+        )
+        return out
+
+    return jax.jit(chained)
+
+
+def _time_chained(run_k, quick, est_step):
+    """Slope timing: min-of-windows at two chain lengths; the slope
+    (t_big - t_small)/(k_big - k_small) is the per-step device time with
+    the per-dispatch tunnel overhead cancelled. Returns
+    (dt_per_step, (k_small, k_big), overhead_seconds)."""
+    est_step = max(est_step, 1e-4)
+    k_small = 3
+    # target ~1.5 s of device time across the k delta so per-dispatch
+    # jitter is <1% of the measured slope
+    k_big = k_small + max(7, min(400, int(round(1.5 / est_step))))
+    if quick:
+        k_big = min(k_big, k_small + 12)
+    windows = 1 if quick else PROTOCOL["windows"]
+    t_small = t_big = float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        run_k(k_small)
+        t_small = min(t_small, time.time() - t0)
+        t0 = time.time()
+        run_k(k_big)
+        t_big = min(t_big, time.time() - t0)
+    dt = max((t_big - t_small) / (k_big - k_small), 1e-9)
+    overhead = max(t_small - k_small * dt, 0.0)
+    return dt, (k_small, k_big), overhead
 
 
 def _pick_iters(est_seconds: float, quick: bool) -> int:
@@ -274,54 +364,101 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
     tx = optim.make_optimizer("sgd_spformer", 0.02)
     st = train_state.create_train_state(model, tx, batch, caps,
                                         jax.random.PRNGKey(0))
+    dispatch_ms = None
     if infer:
-        fn = jax.jit(train_state.make_eval_step(model, caps, 17))
+        raw_eval = train_state.make_eval_step(model, caps, 17)
+        fn = jax.jit(raw_eval)
         t0 = time.time()
         out = fn(st, batch)
         jax.block_until_ready(out["pred"])
         compile_s = time.time() - t0
-        flip_s = _sync_flip(out["pred"])
-        t0 = time.time()
-        out = fn(st, batch)
-        jax.block_until_ready(out["pred"])
-        est = time.time() - t0
+        if _regime() == "chained":
+            def apply_eps(b, eps):
+                b = dict(b)
+                b["feats"] = b["feats"] + eps.astype(b["feats"].dtype)
+                return b
 
-        def run(iters):
-            out = None
-            for _ in range(iters):
-                out = fn(st, batch)
+            chain = _chain_eval(raw_eval, apply_eps,
+                                lambda o: o["pred"][0, 0])
+            t0 = time.time()
+            cout = chain(st, batch, 3)
+            jax.block_until_ready(cout["pred"])
+            compile_s += time.time() - t0
+            flip_s = _sync_flip(cout["pred"])
+            t0 = time.time()
+            cout = chain(st, batch, 3)
+            jax.block_until_ready(cout["pred"])
+            est = (time.time() - t0) / 3
+
+            def run_k(k):
+                o = chain(st, batch, k)
+                jax.block_until_ready(o["pred"])
+
+            dt, ks, ovh = _time_chained(run_k, quick, est)
+            iters, dispatch_ms = ks[1], ovh * 1e3
+        else:
+            flip_s = _sync_flip(out["pred"])
+            t0 = time.time()
+            out = fn(st, batch)
             jax.block_until_ready(out["pred"])
+            est = time.time() - t0
 
-        dt, iters = _timing_windows(run, quick, est)
+            def run(iters):
+                out = None
+                for _ in range(iters):
+                    out = fn(st, batch)
+                jax.block_until_ready(out["pred"])
+
+            dt, iters = _timing_windows(run, quick, est)
         fl, tr, bd, kind = mfu_triple(fn, (st, batch), dt, platform,
                                       model=model, pl=pl, train=False)
         loss = None
     else:
-        fn = jax.jit(train_state.make_train_step(model, tx, caps,
-                                                 remat=remat))
+        raw_step = train_state.make_train_step(model, tx, caps, remat=remat)
+        fn = jax.jit(raw_step)
         t0 = time.time()
-        st, out = fn(st, batch, jax.random.PRNGKey(1))
+        st1, out = fn(st, batch, jax.random.PRNGKey(1))
         jax.block_until_ready(out["loss"])
         compile_s = time.time() - t0
-        flip_s = _sync_flip(out["loss"])
-        state = {"st": st, "out": out}
-        t0 = time.time()
-        state["st"], state["out"] = fn(state["st"], batch,
-                                       jax.random.PRNGKey(1))
-        jax.block_until_ready(state["out"]["loss"])
-        est = time.time() - t0
+        if _regime() == "chained":
+            chain = _chain_train(raw_step)
+            t0 = time.time()
+            _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
+            jax.block_until_ready(aux["loss"])
+            compile_s += time.time() - t0
+            flip_s = _sync_flip(aux["loss"])
+            t0 = time.time()
+            _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
+            jax.block_until_ready(aux["loss"])
+            est = (time.time() - t0) / 3
 
-        def run(iters):
-            for i in range(iters):
-                state["st"], state["out"] = fn(state["st"], batch,
-                                               jax.random.PRNGKey(2 + i))
+            def run_k(k):
+                _, a = chain(st, batch, jax.random.PRNGKey(2), k)
+                jax.block_until_ready(a["loss"])
+
+            dt, ks, ovh = _time_chained(run_k, quick, est)
+            iters, dispatch_ms = ks[1], ovh * 1e3
+            loss = float(aux["loss"])
+        else:
+            flip_s = _sync_flip(out["loss"])
+            state = {"st": st1, "out": out}
+            t0 = time.time()
+            state["st"], state["out"] = fn(state["st"], batch,
+                                           jax.random.PRNGKey(1))
             jax.block_until_ready(state["out"]["loss"])
+            est = time.time() - t0
 
-        dt, iters = _timing_windows(run, quick, est)
+            def run(iters):
+                for i in range(iters):
+                    state["st"], state["out"] = fn(state["st"], batch,
+                                                   jax.random.PRNGKey(2 + i))
+                jax.block_until_ready(state["out"]["loss"])
+
+            dt, iters = _timing_windows(run, quick, est)
+            loss = float(state["out"]["loss"])  # cheap in the sync regime
         fl, tr, bd, kind = mfu_triple(fn, (st, batch, jax.random.PRNGKey(1)),
                                       dt, platform, model=model, pl=pl,
                                       train=True)
-        loss = float(state["out"]["loss"])  # cheap in the sync regime
     row = {
         "name": ("infer" if infer else "teacher") + f"_{num_points}",
         "scans_per_sec": round(batch_size / dt, 3),
@@ -335,6 +472,8 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
                    "voxel": voxel, "platform": platform,
                    "mode": "infer" if infer else "train",
                    "precision": "bf16" if platform != "cpu" else "f32"},
+        **({"dispatch_ms": round(dispatch_ms, 2)}
+           if dispatch_ms is not None else {}),
         **({"loss": round(loss, 4)} if loss is not None else {}),
         **_mfu_fields(fl, tr, bd, kind),
     }
@@ -403,56 +542,167 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
         model, tx, batch["student"], batch["teacher"], s_caps, t_caps,
         jax.random.PRNGKey(0),
     )
+    dispatch_ms = None
     if eval_step:
-        fn = jax.jit(distill.make_distill_eval_step(model, s_caps, t_caps,
-                                                    17, 0))
+        raw_eval = distill.make_distill_eval_step(model, s_caps, t_caps,
+                                                  17, 0)
+        fn = jax.jit(raw_eval)
         t0 = time.time()
         out = fn(st, batch)
         jax.block_until_ready(out["counts_vox"])
         compile_s = time.time() - t0
-        flip_s = _sync_flip(out["counts_vox"])
-        t0 = time.time()
-        out = fn(st, batch)
-        jax.block_until_ready(out["counts_vox"])
-        est = time.time() - t0
+        if _regime() == "chained":
+            def apply_eps(b, eps):
+                b = dict(b)
+                sb = dict(b["student"])
+                sb["feats"] = sb["feats"] + eps.astype(sb["feats"].dtype)
+                b["student"] = sb
+                return b
 
-        def run(iters):
-            out = None
-            for _ in range(iters):
-                out = fn(st, batch)
+            chain = _chain_eval(raw_eval, apply_eps,
+                                lambda o: o["counts_vox"].reshape(-1)[0])
+            t0 = time.time()
+            cout = chain(st, batch, 3)
+            jax.block_until_ready(cout["counts_vox"])
+            compile_s += time.time() - t0
+            flip_s = _sync_flip(cout["counts_vox"])
+            t0 = time.time()
+            cout = chain(st, batch, 3)
+            jax.block_until_ready(cout["counts_vox"])
+            est = (time.time() - t0) / 3
+
+            def run_k(k):
+                o = chain(st, batch, k)
+                jax.block_until_ready(o["counts_vox"])
+
+            dt, ks, ovh = _time_chained(run_k, quick, est)
+            iters, dispatch_ms = ks[1], ovh * 1e3
+        else:
+            flip_s = _sync_flip(out["counts_vox"])
+            t0 = time.time()
+            out = fn(st, batch)
             jax.block_until_ready(out["counts_vox"])
+            est = time.time() - t0
 
-        dt, iters = _timing_windows(run, quick, est)
+            def run(iters):
+                out = None
+                for _ in range(iters):
+                    out = fn(st, batch)
+                jax.block_until_ready(out["counts_vox"])
+
+            dt, iters = _timing_windows(run, quick, est)
         fl, tr, bd, kind = mfu_triple(
             fn, (st, batch), dt, platform,
             contribs=[(model.make_student(), pls.get("student"), False)])
         loss = None
     else:
+        raw = None
         if split:
             fn = distill.make_distill_split_steps(model, tx, s_caps, t_caps,
                                                   remat=remat)
         else:
-            fn = jax.jit(distill.make_distill_train_step(model, tx, s_caps,
-                                                         t_caps, remat=remat))
+            raw = distill.make_distill_train_step(model, tx, s_caps, t_caps,
+                                                  remat=remat)
+            fn = jax.jit(raw)
         t0 = time.time()
-        st, aux = fn(st, batch, jax.random.PRNGKey(1))
+        st1, aux = fn(st, batch, jax.random.PRNGKey(1))
         jax.block_until_ready(aux["loss"])
         compile_s = time.time() - t0
-        flip_s = _sync_flip(aux["loss"])
-        state = {"st": st, "aux": aux}
-        t0 = time.time()
-        state["st"], state["aux"] = fn(state["st"], batch,
-                                       jax.random.PRNGKey(1))
-        jax.block_until_ready(state["aux"]["loss"])
-        est = time.time() - t0
+        if _regime() == "chained":
+            if split:
+                # two programs -> two chains; per-step time is the sum of
+                # the two slopes (a real train loop runs both every step)
+                t2s_out = fn.teacher_fn(st, batch)
+                jax.block_until_ready(t2s_out["x_vox_t2s"])
 
-        def run(iters):
-            for i in range(iters):
-                state["st"], state["aux"] = fn(state["st"], batch,
-                                               jax.random.PRNGKey(2 + i))
+                def apply_eps_t(b, eps):
+                    b = dict(b)
+                    tb = dict(b["teacher"])
+                    tb["feats"] = tb["feats"] + eps.astype(tb["feats"].dtype)
+                    b["teacher"] = tb
+                    return b
+
+                t_chain = _chain_eval(
+                    fn.teacher_fn, apply_eps_t,
+                    lambda o: o["x_vox_t2s"].reshape(-1)[0])
+
+                def s_chained(state0, b, t2s, rng, k):
+                    def body(i, carry):
+                        st2, _ = carry
+                        return fn.student_fn(st2, b, t2s,
+                                             jax.random.fold_in(rng, i))
+
+                    first = fn.student_fn(state0, b, t2s,
+                                          jax.random.fold_in(rng, 0))
+                    return jax.lax.fori_loop(1, k, body, first)
+
+                s_chain = jax.jit(s_chained)
+                t0 = time.time()
+                tout = t_chain(st, batch, 3)
+                jax.block_until_ready(tout["x_vox_t2s"])
+                _, aux = s_chain(st, batch, t2s_out, jax.random.PRNGKey(1), 3)
+                jax.block_until_ready(aux["loss"])
+                compile_s += time.time() - t0
+                flip_s = _sync_flip(aux["loss"])
+                t0 = time.time()
+                tout = t_chain(st, batch, 3)
+                jax.block_until_ready(tout["x_vox_t2s"])
+                est_t = (time.time() - t0) / 3
+                t0 = time.time()
+                _, aux = s_chain(st, batch, t2s_out, jax.random.PRNGKey(1), 3)
+                jax.block_until_ready(aux["loss"])
+                est_s = (time.time() - t0) / 3
+
+                def run_t(k):
+                    o = t_chain(st, batch, k)
+                    jax.block_until_ready(o["x_vox_t2s"])
+
+                def run_s(k):
+                    _, a = s_chain(st, batch, t2s_out,
+                                   jax.random.PRNGKey(2), k)
+                    jax.block_until_ready(a["loss"])
+
+                dt_t, ks_t, ovh_t = _time_chained(run_t, quick, est_t)
+                dt_s, ks_s, ovh_s = _time_chained(run_s, quick, est_s)
+                dt = dt_t + dt_s
+                iters = max(ks_t[1], ks_s[1])
+                dispatch_ms = (ovh_t + ovh_s) * 1e3
+            else:
+                chain = _chain_train(raw)
+                t0 = time.time()
+                _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
+                jax.block_until_ready(aux["loss"])
+                compile_s += time.time() - t0
+                flip_s = _sync_flip(aux["loss"])
+                t0 = time.time()
+                _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
+                jax.block_until_ready(aux["loss"])
+                est = (time.time() - t0) / 3
+
+                def run_k(k):
+                    _, a = chain(st, batch, jax.random.PRNGKey(2), k)
+                    jax.block_until_ready(a["loss"])
+
+                dt, ks, ovh = _time_chained(run_k, quick, est)
+                iters, dispatch_ms = ks[1], ovh * 1e3
+            loss = float(aux["loss"])
+        else:
+            flip_s = _sync_flip(aux["loss"])
+            state = {"st": st1, "aux": aux}
+            t0 = time.time()
+            state["st"], state["aux"] = fn(state["st"], batch,
+                                           jax.random.PRNGKey(1))
             jax.block_until_ready(state["aux"]["loss"])
+            est = time.time() - t0
 
-        dt, iters = _timing_windows(run, quick, est)
+            def run(iters):
+                for i in range(iters):
+                    state["st"], state["aux"] = fn(state["st"], batch,
+                                                   jax.random.PRNGKey(2 + i))
+                jax.block_until_ready(state["aux"]["loss"])
+
+            dt, iters = _timing_windows(run, quick, est)
+            loss = float(state["aux"]["loss"])
         contribs = [(model.make_student(), pls.get("student"), True),
                     (model.make_teacher(), pls.get("teacher"), False)]
         if split:
@@ -469,7 +719,6 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
             fl, tr, bd, kind = mfu_triple(
                 fn, (st, batch, jax.random.PRNGKey(1)), dt, platform,
                 contribs=contribs)
-        loss = float(state["aux"]["loss"])
     row = {
         "name": "student_tsd" + ("_eval" if eval_step else ""),
         "scans_per_sec": round(batch_size / dt, 3),
@@ -485,6 +734,8 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                    "mode": "eval" if eval_step else "train",
                    **({"split": True} if split else {}),
                    "precision": "bf16" if platform != "cpu" else "f32"},
+        **({"dispatch_ms": round(dispatch_ms, 2)}
+           if dispatch_ms is not None else {}),
         **({"loss": round(loss, 4)} if loss is not None else {}),
         **_mfu_fields(fl, tr, bd, kind),
     }
@@ -764,8 +1015,8 @@ def run_table():
     if head:
         scale = ("P=8192 x B=2 (FALLBACK: full-capacity row unavailable)"
                  if degraded else "P=131072 FULL multisweep capacity, B=1")
-        unit = (f"scans/sec (teacher train, {scale}, bf16, sync regime, "
-                f"step={head['step_ms']}ms"
+        unit = (f"scans/sec (teacher train, {scale}, bf16, chained slope "
+                f"protocol, step={head['step_ms']}ms"
                 + (f", mfu={head['mfu'] * 100:.1f}% true "
                    f"[{head['mfu_floor'] * 100:.1f}%..."
                    f"{head['mfu_bound'] * 100:.1f}%]" if "mfu" in head
@@ -818,8 +1069,8 @@ def _compact_row(r):
            "ms": r.get("step_ms")}
     if "mfu" in r:
         out["mfu"] = r["mfu"]
-    if r.get("regime") == "pipelined":
-        out["regime"] = "pipelined"
+    if r.get("regime") in ("pipelined", "sync"):
+        out["regime"] = r["regime"]
     if "host_plumb_ms" in r and r["host_plumb_ms"] > 100:
         out["host_ms"] = r["host_plumb_ms"]
     return out
@@ -846,6 +1097,10 @@ def _markdown_table(rows):
         notes = []
         if r.get("regime") == "pipelined":
             notes.append("pipelined regime (r1-r4 continuity)")
+        elif r.get("regime") == "sync":
+            notes.append("sync regime (per-step barrier upper bound)")
+        if "dispatch_ms" in r:
+            notes.append(f"dispatch={r['dispatch_ms']}ms")
         if "iters" in r:
             notes.append(f"iters={r['iters']}")
         lines.append(
@@ -874,8 +1129,9 @@ def _write_results_md(rows, full):
     stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
     block = (
         f"{RESULTS_BEGIN}\n"
-        f"Measured {stamp} by `python bench.py` (single v5e chip, sync "
-        f"regime unless noted; full JSON: `BENCH_LOCAL.json`). Headline: "
+        f"Measured {stamp} by `python bench.py` (single v5e chip, chained "
+        f"slope protocol unless noted; full JSON: `BENCH_LOCAL.json`). "
+        f"Headline: "
         f"**{full['value']} scans/s** — {full['unit'][:160]}\n\n"
         + _markdown_table(rows) + f"\n{RESULTS_END}"
     )

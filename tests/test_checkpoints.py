@@ -25,6 +25,7 @@ def _state(rng_seed=0):
     return st, model, tx, batch
 
 
+@pytest.mark.slow
 def test_latest_best_epoch_savers(tmp_path):
     st, model, tx, batch = _state()
     mgr = C.CheckpointManager(str(tmp_path), epoch_to_save=2)

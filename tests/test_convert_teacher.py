@@ -155,6 +155,7 @@ def test_kernel_perm_is_offset_exact():
         np.testing.assert_array_equal(ours, ts[perm])
 
 
+@pytest.mark.slow
 def test_teacher_import_strict_and_functional(rng):
     model, vs, batch, pl = _init_variables(rng)
     sd = make_reference_state_dict()
@@ -258,6 +259,7 @@ def test_teacher_import_shape_mismatch_raises(rng, tmp_path):
         cw.load_teacher_pt(str(tmp_path / "bad.pt"), vs)
 
 
+@pytest.mark.slow
 def test_teacher_import_into_tsd_scope(rng, tmp_path):
     """scope='model_t': the stage-2 entry path (reference
     ``nusc_trainers.py:190-199``) — teacher params land under model_t and

@@ -91,6 +91,7 @@ def _flash_out(q, k, v, xyz, valid, quant, tables, ws, g, r, tile=64):
     )
 
 
+@pytest.mark.slow
 def test_flash_rpe_cubic_matches_oracle(rng):
     g = 6
     q, k, v, xyz, valid, quant, tables, ws, _ = make_rpe_inputs(rng, g=g)
@@ -127,6 +128,7 @@ def _loss_through(path, q, k, v, xyz, valid, quant, tables, ws, g, r,
     return jnp.sum(out * dloss)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("radial", [False, True])
 def test_flash_rpe_grads_match_xla(rng, radial):
     """d(loss)/d(q,k,v,tables) through the Pallas custom VJP must match the
@@ -181,6 +183,7 @@ def test_flash_bwd_head_split_exact(rng, radial, monkeypatch):
             err_msg=f"{name} split/unsplit mismatch (radial={radial})")
 
 
+@pytest.mark.slow
 def test_flash_batched_matches_per_sample(rng):
     g = 6
     b = 2

@@ -36,6 +36,7 @@ def build_both(raw):
     return batch, pl_jax, pl_host
 
 
+@pytest.mark.slow
 def test_structure_parity(rng):
     raw = synthetic.make_batch(np.random.RandomState(1), 2, 400, voxel_size=0.3)
     batch, pl_jax, pl_host = build_both(raw)

@@ -52,6 +52,7 @@ def _load_ref_swiftnet():
     return ns
 
 
+@pytest.mark.slow
 def test_swiftnet_forward_matches_exec_reference(rng):
     ns = _load_ref_swiftnet()
     torch.manual_seed(0)

@@ -46,6 +46,7 @@ def test_forward_shapes_and_finite(rng):
     assert "batch_stats" in mutated
 
 
+@pytest.mark.slow
 def test_eval_mode_deterministic(rng):
     pcoords, xyz, feats, mask, labels = make_batch(rng)
     pl = P.build_plumbing(pcoords, xyz, mask, CAPS)
@@ -59,6 +60,7 @@ def test_eval_mode_deterministic(rng):
     np.testing.assert_array_equal(np.asarray(o1["x_vox"]), np.asarray(o2["x_vox"]))
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(rng):
     import optax
 

@@ -20,6 +20,7 @@ def _batch(rng, b, p=250):
             synthetic.make_batch(rng, b, p, voxel_size=0.3).items()}
 
 
+@pytest.mark.slow
 def test_single_device_train_and_eval(rng):
     batch = _batch(rng, 2)
     model = SPVCNN(num_classes=NCLS, cr=0.25)

@@ -76,6 +76,7 @@ def test_pregeom_matches_injit(rng, radial):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("radial", [False, True])
 def test_pregeom_grads_match(rng, radial):
     g = 4

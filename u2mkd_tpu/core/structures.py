@@ -82,3 +82,17 @@ class LevelContext(flax.struct.PyTreeNode):
     down_nbr8: Optional[jax.Array] = None
     up_parent: Optional[jax.Array] = None
     up_koff: Optional[jax.Array] = None
+    # Pallas banded-conv tiling (host-built, ``data/plumbing_host.py``):
+    # packed Morton source-tile lists/counts and per-offset tile ranges,
+    # plus the lane-friendly transposed rulebook. None on the in-jit
+    # plumbing path -> convs use the XLA gather formulation.
+    conv_jl: Optional[jax.Array] = None    # [B, NT, BMAX] int32
+    conv_jn: Optional[jax.Array] = None    # [B, NT] int32
+    conv_kr: Optional[jax.Array] = None    # [B, NT, 27, 2] int32
+    nbr27_t: Optional[jax.Array] = None    # [B, V, 27] int32
+
+    def conv_plan(self):
+        """(nbr27_t, jl, jn, kr) for the pallas rulebook conv, or None."""
+        if self.conv_jl is None:
+            return None
+        return (self.nbr27_t, self.conv_jl, self.conv_jn, self.conv_kr)

@@ -23,12 +23,131 @@ from u2mkd_tpu.ops import spconv as _spconv
 _KEYS = ("coords", "vmask", "nums", "nbr27", "down8", "parent", "koff",
          "voxxyz", "p2v", "dvi", "dvw")
 
+# Pallas rulebook-conv tiling (ops/pallas/spconv_kernel.py): voxel rows are
+# Morton-(z-order-)sorted so each output tile's 27-neighborhood rows cluster
+# into a handful of source tiles; the kernel then visits only the packed
+# per-tile source-tile list. BMAX bounds the list width (measured nonempty
+# source tiles per output tile: p50=8, max=23 at V=131072 — 64 is ~3x head
+# room; the builder raises if a sample ever exceeds it).
+CONV_TILE = 128
+CONV_BMAX = 64
+
+
+def _conv_tile(cap: int) -> int:
+    return min(CONV_TILE, cap)
+
+
+def _morton_code(coords: np.ndarray) -> np.ndarray:
+    """Interleaved-bit z-order key [n] uint64 from int coords [n, 3]."""
+    c = coords - coords.min(axis=0, keepdims=True)
+    out = np.zeros(len(c), np.uint64)
+    for b in range(16):
+        for a in range(3):
+            out |= ((c[:, a].astype(np.uint64) >> np.uint64(b)) & np.uint64(1)) << np.uint64(3 * b + a)
+    return out
+
+
+def _remap_vals(arr: np.ndarray, newpos: np.ndarray, n: int) -> np.ndarray:
+    """Remap row-index VALUES through newpos, preserving anything outside
+    [0, n) (-1 sentinels and capacity-drop indices)."""
+    ok = (arr >= 0) & (arr < n)
+    out = arr.copy()
+    out[ok] = newpos[arr[ok]]
+    return out
+
+
+def _morton_permute_sample(buf: Dict[str, list], capacities) -> None:
+    """In-place: re-order every level's voxel rows into Morton order and
+    remap all row-valued index arrays consistently. Runs identically after
+    the native and the numpy builders, so builder parity is unaffected."""
+    nlev = len(capacities)
+    perms, newposes, ns = [], [], []
+    for li in range(nlev):
+        n = int(buf["nums"][li][0])
+        coords = buf["coords"][li][:n] // (1 << li)
+        perm = np.argsort(_morton_code(coords), kind="stable")
+        newpos = np.empty(n, np.int64)
+        newpos[perm] = np.arange(n)
+        perms.append(perm)
+        newposes.append(newpos)
+        ns.append(n)
+    for li in range(nlev):
+        perm, n = perms[li], ns[li]
+        for key in ("coords", "voxxyz"):
+            buf[key][li][:n] = buf[key][li][perm]
+        # rows of THIS level permute; their values live in other tables
+        nbr = buf["nbr27"][li]
+        nbr[:, :n] = nbr[:, perm]
+        nbr[:] = _remap_vals(nbr, newposes[li], n)
+        if li >= 1:
+            dn = buf["down8"][li]
+            dn[:, :n] = dn[:, perm]
+            dn[:] = _remap_vals(dn, newposes[li - 1], ns[li - 1])
+        if li < nlev - 1:
+            par = buf["parent"][li]
+            par[:n] = par[perm]
+            par[:] = _remap_vals(par, newposes[li + 1], ns[li + 1])
+            kof = buf["koff"][li]
+            kof[:n] = kof[perm]
+        buf["p2v"][li][:] = _remap_vals(buf["p2v"][li], newposes[li], n)
+        buf["dvi"][li][:] = _remap_vals(buf["dvi"][li], newposes[li], n)
+
+
+def conv_plan_shapes(capacities, K: int = 27):
+    """Static [nt, BMAX] / [nt] / [nt, K, 2] shapes per level for the conv
+    tiling arrays (jlist / jcnt / kranges)."""
+    shapes = []
+    for cap in capacities:
+        t = _conv_tile(cap)
+        nt = cap // t
+        shapes.append(((nt, CONV_BMAX), (nt,), (nt, K, 2)))
+    return shapes
+
+
+def _conv_ranges_sample(nbr: np.ndarray, cap: int, jl: np.ndarray,
+                        jn: np.ndarray, kr: np.ndarray) -> None:
+    """Fill the pallas conv tiling arrays for one level's [K, cap] rulebook.
+
+    jl [nt, BMAX]: packed source-tile indices per output tile (sentinel nt)
+    jn [nt]:       count of packed source tiles
+    kr [nt, K, 2]: per-kernel-offset [lo, hi) source-tile range (hi=0 empty)
+    """
+    K = nbr.shape[0]
+    t = _conv_tile(cap)
+    nt = cap // t
+    jl[:] = nt
+    jn[:] = 0
+    valid = (nbr >= 0) & (nbr < cap)
+    src_tile = np.where(valid, nbr // t, 0).reshape(K, nt, t)  # [K, nt, t]
+    vld = valid.reshape(K, nt, t)
+    # per-(i, k) [lo, hi) ranges (vectorized min/max over the tile rows)
+    lo = np.where(vld, src_tile, nt).min(axis=2).T        # [nt, K]
+    hi = (np.where(vld, src_tile, -1).max(axis=2).T + 1)  # [nt, K]
+    kr[:, :, 0] = np.where(hi > 0, lo, 0)
+    kr[:, :, 1] = np.maximum(hi, 0)
+    # packed nonempty source-tile list per output tile: presence matrix ->
+    # row-sorted nonzeros
+    pres = np.zeros((nt, nt), bool)
+    ii = np.broadcast_to(np.arange(nt)[None, :, None], src_tile.shape)
+    pres[ii[vld], src_tile[vld]] = True
+    rows, cols = np.nonzero(pres)
+    counts = np.bincount(rows, minlength=nt)
+    if counts.max(initial=0) > CONV_BMAX:
+        raise RuntimeError(
+            f"conv tiling: {counts.max()} source tiles for one output tile "
+            f"> CONV_BMAX={CONV_BMAX} — Morton banding assumption violated"
+        )
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    jl[rows, np.arange(len(rows)) - offs[rows]] = cols
+    jn[:] = counts
+
 
 def _alloc_sample(p: int, capacities: Sequence[int],
                   lead: tuple = ()) -> Dict[str, list]:
     """Plumbing output buffers, one array per (key, level), with an optional
     leading batch axis so per-sample builds can write straight into the
     batch-major tensors the jitted step consumes (no stack/copy)."""
+    cps = conv_plan_shapes(capacities)
     return dict(
         coords=[np.zeros(lead + (c, 3), np.int32) for c in capacities],
         vmask=[np.zeros(lead + (c,), np.uint8) for c in capacities],
@@ -41,6 +160,10 @@ def _alloc_sample(p: int, capacities: Sequence[int],
         p2v=[np.zeros(lead + (p,), np.int32) for _ in capacities],
         dvi=[np.zeros(lead + (p, 8), np.int32) for _ in capacities],
         dvw=[np.zeros(lead + (p, 8), np.float32) for _ in capacities],
+        # pallas rulebook-conv tiling (filled host-side after the build)
+        cr27jl=[np.zeros(lead + s[0], np.int32) for s in cps],
+        cr27jn=[np.zeros(lead + s[1], np.int32) for s in cps],
+        cr27kr=[np.zeros(lead + s[2], np.int32) for s in cps],
     )
 
 
@@ -58,12 +181,13 @@ def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
     lib = native._load()
     if lib is None or not hasattr(lib, "build_plumbing_host"):
         out = _numpy_build(pcoords, pxyz, pmask, capacities)
-        if into is not None:
-            for k in _KEYS:
-                for dst, src in zip(into[k], out[k]):
-                    np.copyto(dst, src)
-            return into
-        return out
+        buf = into if into is not None else _alloc_sample(len(pcoords),
+                                                          capacities)
+        for k in _KEYS:
+            for dst, src in zip(buf[k], out[k]):
+                np.copyto(dst, src)
+        _finalize_sample(buf, capacities)
+        return buf
     n_levels = len(capacities)
     p = len(pcoords)
     caps = np.asarray(capacities, np.int64)
@@ -96,7 +220,18 @@ def build_plumbing_arrays(pcoords: np.ndarray, pxyz: np.ndarray,
         ptrs(p2v, ctypes.c_int32), ptrs(dvi, ctypes.c_int32),
         ptrs(dvw, ctypes.c_float),
     )
+    _finalize_sample(buf, capacities)
     return buf
+
+
+def _finalize_sample(buf: Dict[str, list], capacities) -> None:
+    """Post-build host pass: Morton row order + pallas conv tiling arrays."""
+    _morton_permute_sample(buf, capacities)
+    for li, cap in enumerate(capacities):
+        _conv_ranges_sample(
+            buf["nbr27"][li], cap, buf["cr27jl"][li], buf["cr27jn"][li],
+            buf["cr27kr"][li],
+        )
 
 
 def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
@@ -120,7 +255,7 @@ def batch_plumbing(pcoords: np.ndarray, pxyz: np.ndarray, pmask: np.ndarray,
     def _build(i):
         build_plumbing_arrays(
             pcoords[i], pxyz[i], pmask[i], capacities,
-            into={k: [lv[i] for lv in out[k]] for k in _KEYS})
+            into={k: [lv[i] for lv in out[k]] for k in out})
 
     # per-sample builds are independent; the native builder releases the
     # GIL, so a thread pool spreads a B>1 (data-parallel) batch across

@@ -88,17 +88,34 @@ class MaskedBatchNorm(nn.Module):
 
 
 class SparseConv(nn.Module):
-    """Stride-1 sparse conv (ks in {1, 3}) over a cached rulebook."""
+    """Stride-1 sparse conv (ks in {1, 3}) over a cached rulebook.
+
+    With a host conv ``plan`` (Morton tiling, ``LevelContext.conv_plan``)
+    and sizes inside the kernel's VMEM budget, the 27-neighbor gather runs
+    as the pallas banded one-hot gather-GEMM (``ops/pallas/spconv_kernel``)
+    — the XLA gather path is the fallback and the numerical oracle."""
 
     out_ch: int
     ks: int = 3
 
     @nn.compact
-    def __call__(self, feats, nbr):
+    def __call__(self, feats, nbr, plan=None):
         k = spconv.kernel_offsets(self.ks).shape[0]
         w = self.param("kernel", conv_kernel_init, (k, feats.shape[-1], self.out_ch))
         if self.ks == 1:
             return jnp.einsum("bvc,cd->bvd", feats, w[0])
+        if plan is not None:
+            from u2mkd_tpu.ops.pallas import spconv_kernel as spk
+
+            if spk.supported(feats.shape[-1], self.out_ch, k):
+                from u2mkd_tpu.ops.precision import cast_compute
+
+                nbr_t, jl, jn, kr = plan
+                f, wc = cast_compute(feats, w)
+                t = min(128, feats.shape[1])
+                return spk.rulebook_conv(
+                    f, wc, nbr_t, jl, jn, kr, t
+                ).astype(feats.dtype)
         return jax.vmap(lambda f, n: spconv.sparse_conv(f, n, w))(feats, nbr)
 
 
@@ -141,7 +158,8 @@ class SparseConvBlock(nn.Module):
                  down_nbr8=None, out_mask=None):
         if self.stride == 1:
             nbr = level.nbr27 if self.ks == 3 else None
-            x = SparseConv(self.out_ch, self.ks)(feats, nbr)
+            x = SparseConv(self.out_ch, self.ks)(feats, nbr,
+                                                 plan=level.conv_plan())
             mask = level.grid.mask
         else:
             x = SparseDownConv(self.out_ch)(feats, down_nbr8)
@@ -176,10 +194,11 @@ class SparseResBlock(nn.Module):
     def __call__(self, feats, level: LevelContext, train: bool):
         mask = level.grid.mask
         nbr = level.nbr27
-        x = SparseConv(self.out_ch, self.ks)(feats, nbr)
+        plan = level.conv_plan()
+        x = SparseConv(self.out_ch, self.ks)(feats, nbr, plan=plan)
         x = MaskedBatchNorm(self.out_ch, axis_name=self.axis_name)(x, mask, train)
         x = nn.relu(x)
-        x = SparseConv(self.out_ch, self.ks)(x, nbr)
+        x = SparseConv(self.out_ch, self.ks)(x, nbr, plan=plan)
         x = MaskedBatchNorm(self.out_ch, axis_name=self.axis_name)(x, mask, train)
         if feats.shape[-1] == self.out_ch:
             short = feats

@@ -116,6 +116,7 @@ def from_precomputed(arrays, pmask: jax.Array) -> UNetPlumbing:
             num=arrays["nums"][li][..., 0],
             stride=1 << li,
         )
+        has_plan = "cr27jl" in arrays
         levels.append(
             LevelContext(
                 grid=grid,
@@ -123,6 +124,11 @@ def from_precomputed(arrays, pmask: jax.Array) -> UNetPlumbing:
                 down_nbr8=arrays["down8"][li] if li >= 1 else None,
                 up_parent=arrays["parent"][li] if li < n_levels - 1 else None,
                 up_koff=arrays["koff"][li] if li < n_levels - 1 else None,
+                conv_jl=arrays["cr27jl"][li] if has_plan else None,
+                conv_jn=arrays["cr27jn"][li] if has_plan else None,
+                conv_kr=arrays["cr27kr"][li] if has_plan else None,
+                nbr27_t=jnp.swapaxes(arrays["nbr27"][li], 1, 2)
+                if has_plan else None,
             )
         )
         p2v.append(arrays["p2v"][li])

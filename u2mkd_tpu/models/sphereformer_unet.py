@@ -42,11 +42,11 @@ class PreActResBlock(nn.Module):
         x = blocks.MaskedBatchNorm(feats.shape[-1], axis_name=self.axis_name,
                                    name="bn1")(feats, mask, train)
         x = nn.relu(x)
-        x = blocks.SparseConv(self.out_ch, 3, name="conv1")(x, level.nbr27)
+        x = blocks.SparseConv(self.out_ch, 3, name="conv1")(x, level.nbr27, plan=level.conv_plan())
         x = blocks.MaskedBatchNorm(self.out_ch, axis_name=self.axis_name,
                                    name="bn2")(x, mask, train)
         x = nn.relu(x)
-        x = blocks.SparseConv(self.out_ch, 3, name="conv2")(x, level.nbr27)
+        x = blocks.SparseConv(self.out_ch, 3, name="conv2")(x, level.nbr27, plan=level.conv_plan())
         if feats.shape[-1] == self.out_ch:
             ident = feats
         else:
@@ -68,7 +68,7 @@ class VGGBlock(nn.Module):
         x = blocks.MaskedBatchNorm(feats.shape[-1], axis_name=self.axis_name,
                                    name="bn1")(feats, mask, train)
         x = nn.relu(x)
-        return blocks.SparseConv(self.out_ch, 3, name="conv1")(x, level.nbr27)
+        return blocks.SparseConv(self.out_ch, 3, name="conv1")(x, level.nbr27, plan=level.conv_plan())
 
 
 _BLOCK_TYPES = {"residual": PreActResBlock, "vgg": VGGBlock}
@@ -191,7 +191,7 @@ class SphereFormerSemantic(nn.Module):
 
         lv0 = plumbing.levels[0]
         x = point_to_voxel(pfeats, plumbing.p2v0_feats_seg, lv0.grid.capacity)
-        x = blocks.SparseConv(self.n_planes[0], 3, name="input_conv")(x, lv0.nbr27)
+        x = blocks.SparseConv(self.n_planes[0], 3, name="input_conv")(x, lv0.nbr27, plan=lv0.conv_plan())
         # reference roundtrip after input_conv: devoxelize to points then
         # re-pool per voxel (unet_spherical_transformer.py:366-367 —
         # z0 = voxel_to_point(output, z); output = point_to_voxel(output, z0))

@@ -43,7 +43,7 @@ def _oracle(x, nbr, w):
 
 def test_fwd_matches_xla():
     x, w, nbr, jl, jn, kr = _setup()
-    t = min(128, x.shape[1])
+    t = x.shape[1] // jn.shape[-1]
     out = spk.rulebook_conv(x, w, jnp.swapaxes(nbr, 1, 2), jl, jn, kr, t)
     ref = _oracle(x, nbr, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -53,7 +53,7 @@ def test_fwd_matches_xla():
 def test_fwd_small_capacity_tile():
     # cap < 128 -> T = cap (single tile per level)
     x, w, nbr, jl, jn, kr = _setup(P=256, B=1, cin=4, cout=8, level=2)
-    t = min(128, x.shape[1])
+    t = x.shape[1] // jn.shape[-1]
     out = spk.rulebook_conv(x, w, jnp.swapaxes(nbr, 1, 2), jl, jn, kr, t)
     ref = _oracle(x, nbr, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -62,7 +62,7 @@ def test_fwd_small_capacity_tile():
 
 def test_grads_match_xla():
     x, w, nbr, jl, jn, kr = _setup(P=256, B=2, cin=8, cout=8)
-    t = min(128, x.shape[1])
+    t = x.shape[1] // jn.shape[-1]
     nbr_t = jnp.swapaxes(nbr, 1, 2)
 
     def loss_pallas(x, w):

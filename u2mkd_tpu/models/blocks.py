@@ -112,7 +112,7 @@ class SparseConv(nn.Module):
 
                 nbr_t, jl, jn, kr = plan
                 f, wc = cast_compute(feats, w)
-                t = min(128, feats.shape[1])
+                t = feats.shape[1] // jn.shape[-1]  # host-chosen tile
                 return spk.rulebook_conv(
                     f, wc, nbr_t, jl, jn, kr, t
                 ).astype(feats.dtype)

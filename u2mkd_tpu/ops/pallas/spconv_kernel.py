@@ -80,18 +80,24 @@ def _kernel(jl_ref, jn_ref, kr_ref, nbrt_ref, w_ref, x_ref,
             xbuf.at[slot], sem.at[slot],
         ).start()
 
-    @pl.when(n > 0)
-    def _():
-        start(0, 0)
+    # 4-deep prefetch ring: the source-tile DMAs are issued 3 iterations
+    # ahead so their ~1-2 us latency hides under the selection matmuls
+    # (double-buffering alone left the loop DMA-wait bound).
+    SLOTS = 4
+    for s in range(SLOTS - 1):
+        @pl.when(s < n)
+        def _(s=s):
+            start(s, s)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
 
     def body(jj, carry):
-        slot = jax.lax.rem(jj, 2)
+        slot = jax.lax.rem(jj, SLOTS)
+        nxt = jj + SLOTS - 1
 
-        @pl.when(jj + 1 < n)
+        @pl.when(nxt < n)
         def _():
-            start(jax.lax.rem(jj + 1, 2), jj + 1)
+            start(jax.lax.rem(nxt, SLOTS), nxt)
 
         pltpu.make_async_copy(
             x_ref.at[b, pl.ds(0, T), :], xbuf.at[slot], sem.at[slot]
@@ -182,8 +188,8 @@ def _call(x, nbr_t, w, jl, jn, kr, T, emit_cat):
         out_specs=out_specs if emit_cat else out_specs[0],
         out_shape=out_shape if emit_cat else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((2, T, CIN), cdtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((4, T, CIN), cdtype),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((T, K * CIN), cdtype),
         ],
         compiler_params=pltpu.CompilerParams(

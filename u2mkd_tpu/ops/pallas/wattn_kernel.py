@@ -796,27 +796,30 @@ def _build_cats(qs, ks, vs, tq, tk, tv, quant, cfg, *, want_v=True):
     ohd = _onehot_diff(quant, cfg, dt)
     ohd_h = jnp.broadcast_to(ohd[:, None], (n, cfg.h, wd))
 
-    qcat = jnp.zeros((n, cfg.h, sk), dt)
-    qcat = qcat.at[:, :, :d].set(qs)
-    qcat = qcat.at[:, :, d:d + wd].set(qsh.astype(dt))
-    qcat = qcat.at[:, :, d + wd:d + 2 * wd].set(ohd_h)
-    kcat = jnp.zeros((n, cfg.h, sk), dt)
-    kcat = kcat.at[:, :, :d].set(ks)
-    kcat = kcat.at[:, :, d:d + wd].set(ohd_h)
-    kcat = kcat.at[:, :, d + wd:d + 2 * wd].set(ksh.astype(dt))
+    # Segment layout [d | wd | wd | lr | lr | pad->sk] built with ONE
+    # concatenate (+ trailing zero pad). The previous .at[:, :, o:o+w].set
+    # composition lowered each segment to a full-buffer pad+DUS at ~5 GB/s
+    # — 13.4 ms/step across the 4 levels (round-5 xplane profile).
+    def seg(parts, width):
+        have = sum(p.shape[-1] for p in parts)
+        if have < width:
+            parts = parts + [jnp.zeros((n, cfg.h, width - have), dt)]
+        return jnp.concatenate([p.astype(dt) for p in parts], axis=-1)
+
+    zlr = jnp.zeros((n, cfg.h, lr), dt) if cfg.radial else None
     if cfg.radial:
         qr = jnp.einsum("ihd,lhd->ihl", qs,
                         cast_compute(tq[:, cfg.n_diff]))          # [N,h,lr]
         kr = jnp.einsum("ihd,lhd->ihl", ks,
                         cast_compute(tk[:, cfg.n_diff]))
-        o_q = d + 2 * wd
-        qcat = qcat.at[:, :, o_q:o_q + lr].set(qr.astype(dt))
-        kcat = kcat.at[:, :, o_q + lr:o_q + 2 * lr].set(kr.astype(dt))
+        qcat = seg([qs, qsh, ohd_h, qr, zlr], sk)
+        kcat = seg([ks, ohd_h, ksh, zlr, kr], sk)
+    else:
+        qcat = seg([qs, qsh, ohd_h], sk)
+        kcat = seg([ks, ohd_h, ksh], sk)
     vcat = None
     if want_v:
-        vcat = jnp.zeros((n, cfg.h, sv), dt)
-        vcat = vcat.at[:, :, :d].set(vs)
-        vcat = vcat.at[:, :, d:d + wd].set(ohd_h)
+        vcat = seg([vs, ohd_h], sv)
     return (qcat.reshape(n, cfg.h * sk), kcat.reshape(n, cfg.h * sk),
             None if vcat is None else vcat.reshape(n, cfg.h * sv))
 
@@ -827,13 +830,15 @@ def _build_gcat(do, tv, quant, cfg, dt):
     n = do.shape[0]
     d, wd, lr, sv = cfg.d, cfg.wd, cfg.lr, cfg.sv
     edo = _proj_shift(do, tv.astype(do.dtype), quant, cfg, "q")   # [N,h,wd]
-    gcat = jnp.zeros((n, cfg.h, sv), dt)
-    gcat = gcat.at[:, :, :d].set(do.astype(dt))
-    gcat = gcat.at[:, :, d:d + wd].set(edo.astype(dt))
+    parts = [do.astype(dt), edo.astype(dt)]
     if cfg.radial:
         edor = jnp.einsum("ihd,lhd->ihl", do,
                           tv[:, cfg.n_diff].astype(do.dtype))
-        gcat = gcat.at[:, :, d + wd:d + wd + lr].set(edor.astype(dt))
+        parts.append(edor.astype(dt))
+    have = sum(p.shape[-1] for p in parts)
+    if have < sv:
+        parts.append(jnp.zeros((n, cfg.h, sv - have), dt))
+    gcat = jnp.concatenate(parts, axis=-1)
     return gcat.reshape(n, cfg.h * sv)
 
 

@@ -235,11 +235,24 @@ def _sync_flip(x) -> float:
     return time.time() - t0
 
 
+def _zeros_like_shape(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), tree
+    )
+
+
 def _chain_train(fn):
     """jit of ``(state, batch, rng, k) -> (state, aux)``: k steps of the
     (unjitted) step ``fn`` in ONE dispatch. ``k`` is a traced loop bound —
     the while loop has a dynamic trip count, so one compile serves every
-    chain length."""
+    chain length. The program contains exactly ONE copy of the step (the
+    init carry's aux comes from ``eval_shape``), so (a) its compile cost
+    equals the plain step's and (b) ``cost_analysis()['flops']`` equals
+    ONE step's flops exactly (XLA counts a dynamic-trip-count while body
+    once — verified against a known matmul)."""
     import jax
 
     def chained(state, batch, rng, k):
@@ -247,8 +260,10 @@ def _chain_train(fn):
             st, _ = carry
             return fn(st, batch, jax.random.fold_in(rng, i))
 
-        first = fn(state, batch, jax.random.fold_in(rng, 0))
-        return jax.lax.fori_loop(1, k, body, first)
+        aux0 = _zeros_like_shape(
+            jax.eval_shape(fn, state, batch, rng)[1]
+        )
+        return jax.lax.fori_loop(0, k, body, (state, aux0))
 
     return jax.jit(chained)
 
@@ -259,7 +274,9 @@ def _chain_eval(fn, apply_eps, probe):
     feeds a runtime-computed epsilon (``probe(prev_out) * 1e-30``, exactly
     neutral numerically) back into the input via ``apply_eps`` — a data
     dependence XLA cannot hoist, preventing loop-invariant code motion
-    from collapsing the chain to one eval."""
+    from collapsing the chain to one eval. Like ``_chain_train``, the
+    program holds ONE copy of the eval (init from ``eval_shape``):
+    compile cost and cost-analysis flops equal the plain step's."""
     import jax
     import jax.numpy as jnp
 
@@ -269,9 +286,9 @@ def _chain_eval(fn, apply_eps, probe):
             out = fn(state, apply_eps(batch, eps))
             return (probe(out).astype(jnp.float32) * 1e-30, out)
 
-        out0 = fn(state, batch)
+        out0 = _zeros_like_shape(jax.eval_shape(fn, state, batch))
         _, out = jax.lax.fori_loop(
-            1, k, body, (probe(out0).astype(jnp.float32) * 1e-30, out0)
+            0, k, body, (jnp.float32(0.0), out0)
         )
         return out
 
@@ -367,12 +384,9 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
     dispatch_ms = None
     if infer:
         raw_eval = train_state.make_eval_step(model, caps, 17)
-        fn = jax.jit(raw_eval)
-        t0 = time.time()
-        out = fn(st, batch)
-        jax.block_until_ready(out["pred"])
-        compile_s = time.time() - t0
         if _regime() == "chained":
+            # ONE compile: the loop-only chained program (same size and
+            # cost-analysis flops as the plain step — see _chain_eval)
             def apply_eps(b, eps):
                 b = dict(b)
                 b["feats"] = b["feats"] + eps.astype(b["feats"].dtype)
@@ -383,7 +397,7 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
             t0 = time.time()
             cout = chain(st, batch, 3)
             jax.block_until_ready(cout["pred"])
-            compile_s += time.time() - t0
+            compile_s = time.time() - t0
             flip_s = _sync_flip(cout["pred"])
             t0 = time.time()
             cout = chain(st, batch, 3)
@@ -396,7 +410,15 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
 
             dt, ks, ovh = _time_chained(run_k, quick, est)
             iters, dispatch_ms = ks[1], ovh * 1e3
+            fl, tr, bd, kind = mfu_triple(
+                None, None, dt, platform, model=model, pl=pl, train=False,
+                xla_override=xla_cost_flops(chain, (st, batch, 3)))
         else:
+            fn = jax.jit(raw_eval)
+            t0 = time.time()
+            out = fn(st, batch)
+            jax.block_until_ready(out["pred"])
+            compile_s = time.time() - t0
             flip_s = _sync_flip(out["pred"])
             t0 = time.time()
             out = fn(st, batch)
@@ -410,22 +432,17 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
                 jax.block_until_ready(out["pred"])
 
             dt, iters = _timing_windows(run, quick, est)
-        fl, tr, bd, kind = mfu_triple(fn, (st, batch), dt, platform,
-                                      model=model, pl=pl, train=False)
+            fl, tr, bd, kind = mfu_triple(fn, (st, batch), dt, platform,
+                                          model=model, pl=pl, train=False)
         loss = None
     else:
         raw_step = train_state.make_train_step(model, tx, caps, remat=remat)
-        fn = jax.jit(raw_step)
-        t0 = time.time()
-        st1, out = fn(st, batch, jax.random.PRNGKey(1))
-        jax.block_until_ready(out["loss"])
-        compile_s = time.time() - t0
         if _regime() == "chained":
             chain = _chain_train(raw_step)
             t0 = time.time()
             _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
             jax.block_until_ready(aux["loss"])
-            compile_s += time.time() - t0
+            compile_s = time.time() - t0
             flip_s = _sync_flip(aux["loss"])
             t0 = time.time()
             _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
@@ -439,7 +456,16 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
             dt, ks, ovh = _time_chained(run_k, quick, est)
             iters, dispatch_ms = ks[1], ovh * 1e3
             loss = float(aux["loss"])
+            fl, tr, bd, kind = mfu_triple(
+                None, None, dt, platform, model=model, pl=pl, train=True,
+                xla_override=xla_cost_flops(
+                    chain, (st, batch, jax.random.PRNGKey(1), 3)))
         else:
+            fn = jax.jit(raw_step)
+            t0 = time.time()
+            st1, out = fn(st, batch, jax.random.PRNGKey(1))
+            jax.block_until_ready(out["loss"])
+            compile_s = time.time() - t0
             flip_s = _sync_flip(out["loss"])
             state = {"st": st1, "out": out}
             t0 = time.time()
@@ -456,9 +482,9 @@ def bench_teacher(num_points, batch_size, cap0=None, cr=1.0, voxel=0.1,
 
             dt, iters = _timing_windows(run, quick, est)
             loss = float(state["out"]["loss"])  # cheap in the sync regime
-        fl, tr, bd, kind = mfu_triple(fn, (st, batch, jax.random.PRNGKey(1)),
-                                      dt, platform, model=model, pl=pl,
-                                      train=True)
+            fl, tr, bd, kind = mfu_triple(
+                fn, (st, batch, jax.random.PRNGKey(1)), dt, platform,
+                model=model, pl=pl, train=True)
     row = {
         "name": ("infer" if infer else "teacher") + f"_{num_points}",
         "scans_per_sec": round(batch_size / dt, 3),
@@ -546,11 +572,7 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
     if eval_step:
         raw_eval = distill.make_distill_eval_step(model, s_caps, t_caps,
                                                   17, 0)
-        fn = jax.jit(raw_eval)
-        t0 = time.time()
-        out = fn(st, batch)
-        jax.block_until_ready(out["counts_vox"])
-        compile_s = time.time() - t0
+        s_contribs = [(model.make_student(), pls.get("student"), False)]
         if _regime() == "chained":
             def apply_eps(b, eps):
                 b = dict(b)
@@ -564,7 +586,7 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
             t0 = time.time()
             cout = chain(st, batch, 3)
             jax.block_until_ready(cout["counts_vox"])
-            compile_s += time.time() - t0
+            compile_s = time.time() - t0
             flip_s = _sync_flip(cout["counts_vox"])
             t0 = time.time()
             cout = chain(st, batch, 3)
@@ -577,7 +599,15 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
 
             dt, ks, ovh = _time_chained(run_k, quick, est)
             iters, dispatch_ms = ks[1], ovh * 1e3
+            fl, tr, bd, kind = mfu_triple(
+                None, None, dt, platform, contribs=s_contribs,
+                xla_override=xla_cost_flops(chain, (st, batch, 3)))
         else:
+            fn = jax.jit(raw_eval)
+            t0 = time.time()
+            out = fn(st, batch)
+            jax.block_until_ready(out["counts_vox"])
+            compile_s = time.time() - t0
             flip_s = _sync_flip(out["counts_vox"])
             t0 = time.time()
             out = fn(st, batch)
@@ -591,11 +621,12 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                 jax.block_until_ready(out["counts_vox"])
 
             dt, iters = _timing_windows(run, quick, est)
-        fl, tr, bd, kind = mfu_triple(
-            fn, (st, batch), dt, platform,
-            contribs=[(model.make_student(), pls.get("student"), False)])
+            fl, tr, bd, kind = mfu_triple(fn, (st, batch), dt, platform,
+                                          contribs=s_contribs)
         loss = None
     else:
+        contribs = [(model.make_student(), pls.get("student"), True),
+                    (model.make_teacher(), pls.get("teacher"), False)]
         raw = None
         if split:
             fn = distill.make_distill_split_steps(model, tx, s_caps, t_caps,
@@ -603,18 +634,10 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
         else:
             raw = distill.make_distill_train_step(model, tx, s_caps, t_caps,
                                                   remat=remat)
-            fn = jax.jit(raw)
-        t0 = time.time()
-        st1, aux = fn(st, batch, jax.random.PRNGKey(1))
-        jax.block_until_ready(aux["loss"])
-        compile_s = time.time() - t0
         if _regime() == "chained":
             if split:
                 # two programs -> two chains; per-step time is the sum of
                 # the two slopes (a real train loop runs both every step)
-                t2s_out = fn.teacher_fn(st, batch)
-                jax.block_until_ready(t2s_out["x_vox_t2s"])
-
                 def apply_eps_t(b, eps):
                     b = dict(b)
                     tb = dict(b["teacher"])
@@ -632,17 +655,17 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                         return fn.student_fn(st2, b, t2s,
                                              jax.random.fold_in(rng, i))
 
-                    first = fn.student_fn(state0, b, t2s,
-                                          jax.random.fold_in(rng, 0))
-                    return jax.lax.fori_loop(1, k, body, first)
+                    aux0 = _zeros_like_shape(jax.eval_shape(
+                        fn.student_fn, state0, b, t2s, rng)[1])
+                    return jax.lax.fori_loop(0, k, body, (state0, aux0))
 
                 s_chain = jax.jit(s_chained)
                 t0 = time.time()
-                tout = t_chain(st, batch, 3)
-                jax.block_until_ready(tout["x_vox_t2s"])
+                t2s_out = t_chain(st, batch, 3)
+                jax.block_until_ready(t2s_out["x_vox_t2s"])
                 _, aux = s_chain(st, batch, t2s_out, jax.random.PRNGKey(1), 3)
                 jax.block_until_ready(aux["loss"])
-                compile_s += time.time() - t0
+                compile_s = time.time() - t0
                 flip_s = _sync_flip(aux["loss"])
                 t0 = time.time()
                 tout = t_chain(st, batch, 3)
@@ -667,12 +690,21 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                 dt = dt_t + dt_s
                 iters = max(ks_t[1], ks_s[1])
                 dispatch_ms = (ovh_t + ovh_s) * 1e3
+                xla = sum(
+                    xla_cost_flops(f, a) or 0.0
+                    for f, a in (
+                        (t_chain, (st, batch, 3)),
+                        (s_chain,
+                         (st, batch, t2s_out, jax.random.PRNGKey(1), 3))))
+                fl, tr, bd, kind = mfu_triple(None, None, dt, platform,
+                                              xla_override=xla or None,
+                                              contribs=contribs)
             else:
                 chain = _chain_train(raw)
                 t0 = time.time()
                 _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
                 jax.block_until_ready(aux["loss"])
-                compile_s += time.time() - t0
+                compile_s = time.time() - t0
                 flip_s = _sync_flip(aux["loss"])
                 t0 = time.time()
                 _, aux = chain(st, batch, jax.random.PRNGKey(1), 3)
@@ -685,8 +717,18 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
 
                 dt, ks, ovh = _time_chained(run_k, quick, est)
                 iters, dispatch_ms = ks[1], ovh * 1e3
+                fl, tr, bd, kind = mfu_triple(
+                    None, None, dt, platform, contribs=contribs,
+                    xla_override=xla_cost_flops(
+                        chain, (st, batch, jax.random.PRNGKey(1), 3)))
             loss = float(aux["loss"])
         else:
+            if not split:
+                fn = jax.jit(raw)
+            t0 = time.time()
+            st1, aux = fn(st, batch, jax.random.PRNGKey(1))
+            jax.block_until_ready(aux["loss"])
+            compile_s = time.time() - t0
             flip_s = _sync_flip(aux["loss"])
             state = {"st": st1, "aux": aux}
             t0 = time.time()
@@ -703,22 +745,21 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
 
             dt, iters = _timing_windows(run, quick, est)
             loss = float(state["aux"]["loss"])
-        contribs = [(model.make_student(), pls.get("student"), True),
-                    (model.make_teacher(), pls.get("teacher"), False)]
-        if split:
-            t2s_out = fn.teacher_fn(st, batch)
-            xla = sum(
-                xla_cost_flops(f, a) or 0.0
-                for f, a in ((fn.teacher_fn, (st, batch)),
-                             (fn.student_fn,
-                              (st, batch, t2s_out, jax.random.PRNGKey(1)))))
-            fl, tr, bd, kind = mfu_triple(None, None, dt, platform,
-                                          xla_override=xla or None,
-                                          contribs=contribs)
-        else:
-            fl, tr, bd, kind = mfu_triple(
-                fn, (st, batch, jax.random.PRNGKey(1)), dt, platform,
-                contribs=contribs)
+            if split:
+                t2s_out = fn.teacher_fn(st, batch)
+                xla = sum(
+                    xla_cost_flops(f, a) or 0.0
+                    for f, a in (
+                        (fn.teacher_fn, (st, batch)),
+                        (fn.student_fn,
+                         (st, batch, t2s_out, jax.random.PRNGKey(1)))))
+                fl, tr, bd, kind = mfu_triple(None, None, dt, platform,
+                                              xla_override=xla or None,
+                                              contribs=contribs)
+            else:
+                fl, tr, bd, kind = mfu_triple(
+                    fn, (st, batch, jax.random.PRNGKey(1)), dt, platform,
+                    contribs=contribs)
     row = {
         "name": "student_tsd" + ("_eval" if eval_step else ""),
         "scans_per_sec": round(batch_size / dt, 3),
@@ -891,9 +932,11 @@ def run_single_row():
     quick = "--quick" in sys.argv
     if "--student" in sys.argv or "--student-eval" in sys.argv:
         sp = _arg("points", 2048 if quick else 4096, int)
+        im = _arg("im", None)  # e.g. --im=360x640
+        im_hw = tuple(int(v) for v in im.split("x")) if im else (360, 640)
         row = bench_student(
             sp, _arg("batch", 1, int), t_points=_arg("tpoints", None, int),
-            num_cams=_arg("cams", 3, int),
+            num_cams=_arg("cams", 3, int), im_hw=im_hw,
             pallas="--no-pallas" not in sys.argv,
             remat="--remat" in sys.argv,
             eval_step="--student-eval" in sys.argv, quick=quick,
@@ -950,13 +993,24 @@ def run_table():
     """Default mode: every ROWS entry in its own subprocess; ONE JSON line
     with the full table, headline = full-capacity teacher row."""
     budget = float(os.environ.get("U2MKD_BENCH_BUDGET", "2700"))
-    row_timeout = float(os.environ.get("U2MKD_BENCH_ROW_TIMEOUT", "1500"))
+    # The row timeout is a last-resort hang guard, NOT a budget control:
+    # killing a row mid-remote-compile orphans the compile and WEDGES the
+    # tunnel's compile helper for ~1.5 h (every later row then queues
+    # behind the orphan — observed live in round 5). So the timeout is
+    # generous, never shrunk by remaining budget, and a row that does hit
+    # it aborts the whole table (the service must be presumed wedged).
+    row_timeout = float(os.environ.get("U2MKD_BENCH_ROW_TIMEOUT", "3300"))
     only = os.environ.get("U2MKD_BENCH_ROWS")
     order = [r for r in ROW_ORDER if not only or r in only.split(",")]
     t_start = time.time()
     rows = []
+    wedged = False
     for name in order:
         elapsed = time.time() - t_start
+        if wedged:
+            rows.append({"name": name, "skipped": "aborted: an earlier row "
+                         "timed out (compile helper presumed wedged)"})
+            continue
         if elapsed > budget and rows:
             rows.append({"name": name, "skipped": f"budget ({budget:.0f}s) "
                          f"exhausted after {elapsed:.0f}s"})
@@ -966,8 +1020,7 @@ def run_table():
         try:
             res = subprocess.run(
                 cmd, cwd=REPO, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True,
-                timeout=min(row_timeout, max(120.0, budget - elapsed + 300)),
+                stderr=subprocess.STDOUT, text=True, timeout=row_timeout,
             )
             line = [l for l in res.stdout.splitlines()
                     if l.startswith("{")]
@@ -984,6 +1037,7 @@ def run_table():
         except subprocess.TimeoutExpired:
             rows.append({"name": name,
                          "failed": f"row timeout ({row_timeout:.0f}s)"})
+            wedged = True
         except Exception as e:  # noqa: BLE001 — record, keep benching
             rows.append({"name": name, "failed": f"{type(e).__name__}: {e}"})
 

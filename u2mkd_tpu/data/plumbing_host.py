@@ -29,7 +29,7 @@ _KEYS = ("coords", "vmask", "nums", "nbr27", "down8", "parent", "koff",
 # per-tile source-tile list. BMAX bounds the list width (measured nonempty
 # source tiles per output tile: p50=8, max=23 at V=131072 — 64 is ~3x head
 # room; the builder raises if a sample ever exceeds it).
-CONV_TILE = 256
+CONV_TILE = 128
 CONV_BMAX = 64
 
 

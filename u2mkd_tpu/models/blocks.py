@@ -107,12 +107,12 @@ class SparseConv(nn.Module):
         if plan is not None:
             from u2mkd_tpu.ops.pallas import spconv_kernel as spk
 
-            if spk.supported(feats.shape[-1], self.out_ch, k):
+            nbr_t, jl, jn, kr = plan
+            t = feats.shape[1] // jn.shape[-1]  # host-chosen tile
+            if spk.supported(feats.shape[-1], self.out_ch, k, t):
                 from u2mkd_tpu.ops.precision import cast_compute
 
-                nbr_t, jl, jn, kr = plan
                 f, wc = cast_compute(feats, w)
-                t = feats.shape[1] // jn.shape[-1]  # host-chosen tile
                 return spk.rulebook_conv(
                     f, wc, nbr_t, jl, jn, kr, t
                 ).astype(feats.dtype)

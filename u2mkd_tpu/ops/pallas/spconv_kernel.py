@@ -48,12 +48,16 @@ def rev_perm_27() -> np.ndarray:
     return np.asarray([lut[tuple(-o)] for o in offs], np.int32)
 
 
-def supported(cin: int, cout: int, k: int = 27) -> bool:
+def supported(cin: int, cout: int, k: int = 27, t: int = 128) -> bool:
     """Static predicate: does this conv fit the kernel's VMEM budget?
-    (wflat + gathered-concat + double-buffered x tiles, bf16.)"""
-    wflat = k * cin * cout * 2
-    cat = 128 * k * cin * 2
-    return cin <= 192 and cout <= 256 and (wflat + 2 * cat) <= 6 * 1024 * 1024
+    (wflat + catbuf scratch + cat out block + x prefetch ring, bf16, with
+    the lane-padded Cin the kernel actually allocates.)"""
+    cinp = ((cin + 127) // 128) * 128
+    wflat = k * cinp * cout * 2
+    cat = t * k * cinp * 2          # catbuf scratch AND the cat out block
+    xring = 4 * t * cinp * 2
+    return (cin <= 192 and cout <= 256
+            and (wflat + 2 * cat + xring) <= 6 * 1024 * 1024)
 
 
 def _kernel(jl_ref, jn_ref, kr_ref, nbrt_ref, w_ref, x_ref,

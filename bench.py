@@ -581,8 +581,12 @@ def bench_student(num_points, batch_size, t_points=None, num_cams=3,
                 b["student"] = sb
                 return b
 
-            chain = _chain_eval(raw_eval, apply_eps,
-                                lambda o: o["counts_vox"].reshape(-1)[0])
+            def probe(o):
+                import jax as _j
+
+                return _j.tree_util.tree_leaves(o["counts_vox"])[0].reshape(-1)[0]
+
+            chain = _chain_eval(raw_eval, apply_eps, probe)
             t0 = time.time()
             cout = chain(st, batch, 3)
             jax.block_until_ready(cout["counts_vox"])

@@ -118,3 +118,25 @@ def test_model_uses_kernel_and_matches():
     m = np.asarray(batch["pmask"])
     np.testing.assert_allclose(np.asarray(out_pal)[m], np.asarray(out_xla)[m],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_grads_match_with_recomputed_concat(monkeypatch):
+    """Large-residual path: the gathered concat is recomputed in the bwd
+    instead of saved (full-capacity programs OOM'd otherwise)."""
+    monkeypatch.setattr(spk, "_CAT_SAVE_BYTES", 1)
+    x, w, nbr, jl, jn, kr = _setup(P=256, B=2, cin=8, cout=8)
+    t = x.shape[1] // jn.shape[-1]
+    nbr_t = jnp.swapaxes(nbr, 1, 2)
+
+    def loss_pallas(x, w):
+        return jnp.sum(jnp.sin(spk.rulebook_conv(x, w, nbr_t, jl, jn, kr, t)))
+
+    def loss_xla(x, w):
+        return jnp.sum(jnp.sin(_oracle(x, nbr, w)))
+
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, w)
+    gx_x, gw_x = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-5)

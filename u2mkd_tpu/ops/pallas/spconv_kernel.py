@@ -217,14 +217,31 @@ def rulebook_conv(x, w, nbr_t, jl, jn, kr, T=128):
     return out
 
 
+# Above this many bytes the gathered-concat residual is recomputed in the
+# backward instead of saved: at full capacity (V=131072, Cin=96) one conv's
+# concat is ~900 MB bf16 — saving ~15 of them sank the whole-model compile
+# (the same residual blow-up the XLA path's scan+checkpoint strategy
+# handles, spconv.sparse_conv).
+_CAT_SAVE_BYTES = 256 * 1024 * 1024
+
+
 def _rc_fwd(x, w, nbr_t, jl, jn, kr, T):
+    B, V, CIN0 = x.shape
+    K = w.shape[0]
+    cinp = ((CIN0 + 127) // 128) * 128 if (V > T and CIN0 % 128) else CIN0
+    big = B * V * K * cinp * x.dtype.itemsize > _CAT_SAVE_BYTES
+    if big:
+        out = rulebook_conv(x, w, nbr_t, jl, jn, kr, T)
+        return out, (None, x, w, nbr_t, jl, jn, kr)
     out, cat = _call(x, nbr_t, w, jl, jn, kr, T, emit_cat=True)
-    return out, (cat, w, nbr_t, jl, jn, kr)
+    return out, (cat, None, w, nbr_t, jl, jn, kr)
 
 
 def _rc_bwd(T, res, g):
-    cat, w, nbr_t, jl, jn, kr = res
+    cat, x_saved, w, nbr_t, jl, jn, kr = res
     K, CIN, COUT = w.shape
+    if cat is None:  # recompute the gathered concat (one extra kernel pass)
+        _, cat = _call(x_saved, nbr_t, w, jl, jn, kr, T, emit_cat=True)
     CINP = cat.shape[-1] // K  # lane-padded Cin of the saved concat
     # d/dW from the gathered concat (the fwd kernel's side output):
     # grad_w[k] = (P_k X)^T @ g
